@@ -1,0 +1,68 @@
+"""Pipeline configuration — pins the shingle/signature parameters.
+
+The banding choice follows the north-rule config: 5-gram shingles, 128-perm
+MinHash. With 128 perms we band as b=32 bands x r=4 rows, giving an LSH
+S-curve with threshold ~ (1/b)^(1/r) = 0.42 — high-recall for Jaccard >= 0.6
+and essentially lossless (>1 - 1e-7) for Jaccard >= 0.8.
+
+Generalizes the reference's fixed dedup configuration (source priority list at
+``config.py:21-30``, fuzzy threshold ``partial_ratio >= 80`` at
+``data_pipeline/enricher.py:197``) into one frozen dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / signatures (frozen by BASELINE.json north_star) ---
+    shingle_k: int = 5            # tokens per shingle
+    num_perms: int = 128          # MinHash permutations
+    lsh_bands: int = 32           # b
+    lsh_rows: int = 4             # r; b*r must equal num_perms
+    minhash_seed: int = 0x5EED_CAFE
+
+    # --- verification thresholds ---
+    jaccard_threshold: float = 0.70   # exact-Jaccard verify for LSH candidates
+    containment_threshold: float = 0.95  # |S_b ∩ S_a| / |S_b| for substring pass
+    simhash_hamming_max: int = 3      # Hamming radius for title-field SimHash
+
+    # --- containment candidate generation ---
+    bottomk: int = 8              # bottom-k shingle sketch size for containment
+    bottomk_min_match: int = 6    # shared bottom-k hashes to become a candidate
+
+    # --- skew control ---
+    bucket_cap: int = 64          # max docs per (band,bucket) before salting kicks in
+    salt_buckets: int = 16        # salt fan-out for hot buckets / hot labels
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    max_cc_iterations: int = 50   # guard: >= ceil(log2(diameter)) for any real graph
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"bands*rows ({self.lsh_bands}*{self.lsh_rows}) != num_perms ({self.num_perms})"
+            )
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+# Source-priority order for the record-level group-merge operator, mirroring
+# the reference's ordered-Categorical priority (``config.py:21-30`` +
+# ``data_pipeline/deduplicator.py:73-81``). Lower rank wins.
+SOURCE_PRIORITY: tuple[str, ...] = (
+    "scopus",
+    "wos",
+    "openalex+crossref",
+    "crossref",
+    "openalex",
+    "datacite",
+    "zenodo",
+    "epo",
+)

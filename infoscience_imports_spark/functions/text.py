@@ -1,0 +1,85 @@
+"""Text extraction + normalization kernels.
+
+Two frozen kernels, each with a pure-Python oracle and a Spark Column
+expression that is **byte-identical** to it (asserted in
+``tests/test_text.py``). This generalizes the reference's title-cleaning
+normalization (``data_pipeline/deduplicator.py:19-29``: strip HTML tags,
+non-alnum -> space, collapse whitespace, lowercase, strip). The reference
+ships two deliberately different variants (``deduplicator.py:19-29`` vs
+``clients/dspace_client_wrapper.py:417-422``); per SURVEY.md §7.4 we pick one
+normalization and freeze it here.
+
+Byte-identity strategy: all character classes are pure-ASCII, so Python
+``str.lower`` and Java ``Lower`` agree on every affected byte; non-ASCII
+characters pass through both engines untouched by the regex classes used.
+
+Everything is a Column expression (whole-stage codegen, no Python in the hot
+path); the pure-Python twins exist only as test oracles and for driver-side
+use.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- extraction: html -> text ------------------------------------------------
+# The corpus convention (see sources/synthetic.py) is main-content markup:
+# the payload text lives inside <main id="content"> ... </main> with the three
+# HTML-critical characters entity-escaped. Extraction = locate the main block,
+# strip any residual inline tags, unescape. This mirrors what a real
+# main-content extractor (trafilatura-class) produces, expressed as pure
+# Column ops so Catalyst keeps it inside codegen.
+
+_MAIN_RE = re.compile(r"(?s)<main id=\"content\">(.*?)</main>")
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_text_py(html: bytes | str) -> str:
+    """Pure-Python oracle for html->text extraction (byte-identical target)."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
+    m = _MAIN_RE.search(s)
+    body = m.group(1) if m else ""
+    body = _TAG_RE.sub("", body)
+    body = body.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    return body
+
+
+def extract_text_col(html: Column) -> Column:
+    """Spark twin of :func:`extract_text_py` over a binary/string html column."""
+    s = F.decode(html, "UTF-8")
+    body = F.regexp_extract(s, r'(?s)<main id="content">(.*?)</main>', 1)
+    body = F.regexp_replace(body, r"<[^>]*>", "")
+    body = F.replace(body, F.lit("&lt;"), F.lit("<"))
+    body = F.replace(body, F.lit("&gt;"), F.lit(">"))
+    body = F.replace(body, F.lit("&amp;"), F.lit("&"))
+    return body
+
+
+# --- normalization: text -> canonical token stream ---------------------------
+# Frozen kernel (generalizes clean_title, deduplicator.py:19-29):
+#   1. strip residual tags,  2. ASCII non-alnum -> space,
+#   3. collapse whitespace,  4. ascii-lowercase,  5. strip.
+# Step 2 uses an ASCII-only class so every non-ASCII char becomes a space
+# *before* lowercasing — the lowercase step then only ever sees ASCII, which
+# Python and the JVM lowercase identically.
+
+_NON_ALNUM_RE = re.compile(r"[^0-9A-Za-z]+")
+
+
+def normalize_text_py(text: str) -> str:
+    """Pure-Python oracle for normalization (byte-identical target)."""
+    if text is None:
+        return ""
+    s = _TAG_RE.sub(" ", text)
+    s = _NON_ALNUM_RE.sub(" ", s)
+    return s.strip().lower()
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Spark twin of :func:`normalize_text_py`."""
+    s = F.regexp_replace(text, r"<[^>]*>", " ")
+    s = F.regexp_replace(s, r"[^0-9A-Za-z]+", " ")
+    return F.lower(F.trim(s))

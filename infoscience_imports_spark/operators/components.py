@@ -1,0 +1,126 @@
+"""Stage 5 — connected components via iterative DataFrame self-joins.
+
+Reference parity: the DataCite version-link clustering
+(``data_pipeline/harvester.py:710-757``) builds an undirected adjacency from
+HasVersion/IsVersionOf edges and runs a driver-side DFS. At web scale that
+becomes the alternating **large-star / small-star** algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature), which converges in O(log^2 n) rounds of pure DataFrame
+group-by/join ops:
+
+  large-star(u): for each neighbor v > u, link v -> min(Γ(u) ∪ {u})
+  small-star(u): for each neighbor v <= u, link v -> min(Γ⁻(u) ∪ {u})
+
+Skew (north_rule: salted keys): component roots become mega-hubs — every
+round groups and joins on node id, and the root's adjacency dwarfs the rest.
+The min-aggregation itself is combiner-friendly (partial min map-side), and
+the join back onto the skewed node id is **salted**: the edge side carries
+``salt = pmod(xxhash64(v), S)`` and the (small) per-node min table is
+exploded across all S salts, so no single reducer owns a whole hub.
+
+Each iteration is ``localCheckpoint``-ed to truncate lineage (on a cluster,
+swap for reliable ``checkpoint``/table writes — the stage driver in
+plans/pipeline.py checkpoints the converged result to the warehouse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("id1").alias("u"), F.col("id2").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _salted_join_min(edges: DataFrame, mins: DataFrame, n_salt: int) -> DataFrame:
+    """edges(u,v) ⋈ mins(u,m) on u, salt-replicated to defuse hub skew."""
+    salted_edges = edges.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("v")), F.lit(n_salt)).cast("int")
+    )
+    salted_mins = mins.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_edges.join(salted_mins, on=["u", "_salt"]).drop("_salt")
+
+
+def _large_star(edges: DataFrame, n_salt: int) -> DataFrame:
+    mins = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = _salted_join_min(edges, mins, n_salt)
+    return (
+        joined.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id1"), F.col("m").alias("id2"))
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame, n_salt: int) -> DataFrame:
+    # operate on edges directed to the smaller endpoint
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = _salted_join_min(e, mins, n_salt)
+    star = joined.select(F.col("v").alias("id1"), F.col("m").alias("id2"))
+    self_edge = mins.select(F.col("u").alias("id1"), F.col("m").alias("id2"))
+    return (
+        star.union(self_edge)
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))), F.lit(0)
+        ).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"])
+
+
+def connected_components(
+    edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """edges(id1, id2) -> assignments (doc_id, cluster_id = component min).
+
+    Deterministic: cluster_id is the component's minimum doc_id (total order
+    on a hash-derived id — SURVEY.md §7.4 determinism rule). Docs absent from
+    ``edges`` are not returned; callers left-join and coalesce to doc_id.
+    """
+    n_salt = max(1, cfg.salt_buckets)
+    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(cfg.max_cc_iterations):
+        ls = _large_star(cur, n_salt)
+        ss = _small_star(ls.select(F.col("id1").alias("u"), F.col("id2").alias("v")), n_salt)
+        cur = _symmetrize(ss).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: every remaining edge points node -> component root
+    directed = cur.select(
+        F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("root")
+    )
+    assign = directed.groupBy("doc_id").agg(F.min("root").alias("cluster_id"))
+    roots = assign.select(F.col("cluster_id").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return assign.unionByName(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def attach_clusters(docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Left-join assignments; singletons become their own cluster."""
+    return docs.join(assignments, on=id_col, how="left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )

@@ -1,0 +1,140 @@
+"""Stage 3 — LSH banding, bucketing, and candidate-pair generation.
+
+Web-scale analogue of the reference's fuzzy candidate search (title +
+year±1 Solr query per record, ``clients/dspace_client_wrapper.py:95-116``):
+instead of one remote lookup per row, signatures are banded (b=32 x r=4) and
+docs sharing any band bucket become candidate pairs via a self-equi-join —
+one shuffle keyed by (band, bucket).
+
+Skew story (north_rule: "salted keys to defuse hot-bucket skew"):
+  - buckets are counted first; buckets <= cap pair all-vs-all (the join is
+    quadratic only within a bucket);
+  - hot buckets (boilerplate pages land here) switch to bounded-degree *star
+    pairing* against the ``hub_count`` smallest doc_ids — this preserves
+    connectivity for the components stage (what dedup needs) without the
+    O(c^2) blowup;
+  - AQE skew-join splitting stays on for residual imbalance.
+
+Also hosts the SimHash band path for short title-like fields: with 4 bands of
+16 bits, any pair within Hamming radius 3 shares at least one untouched band
+(pigeonhole), so a band-equality self-join plus a JVM-side
+``bit_count(xor) <= 3`` filter finds exactly the Hamming ball.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+
+
+def band_buckets(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """signatures -> (doc_id, band, bucket) — one row per (doc, band).
+
+    Bucket key = xxhash64(band index, the r signature values of the band),
+    computed JVM-side from the stored ``minhash`` array (whole-stage codegen;
+    the Python kernel is not re-entered).
+    """
+    r = cfg.lsh_rows
+    bucket_cols = F.array(
+        *[
+            F.xxhash64(F.lit(i), F.slice(F.col("minhash"), i * r + 1, r))
+            for i in range(cfg.lsh_bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.posexplode(bucket_cols).alias("band", "bucket")
+    )
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(band, bucket, doc_id) -> distinct (id1, id2) with id1 < id2."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    sized = buckets.withColumn("bsize", F.count(F.lit(1)).over(w)).withColumn(
+        "brank", F.row_number().over(w.orderBy("doc_id"))
+    )
+
+    small = sized.filter(F.col("bsize") <= cfg.bucket_cap).select(
+        "band", "bucket", "doc_id"
+    )
+    # all-pairs inside small buckets
+    left = small.alias("l")
+    right = small.alias("r")
+    small_pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+    )
+
+    # hot buckets: star pairing against the hub_count smallest ids
+    hub_count = 3
+    big = sized.filter(F.col("bsize") > cfg.bucket_cap)
+    hubs = big.filter(F.col("brank") <= hub_count).select(
+        "band", "bucket", F.col("doc_id").alias("hub_id")
+    )
+    big_pairs = (
+        big.join(hubs, on=["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("hub_id"))
+        .select(
+            F.least("doc_id", "hub_id").alias("id1"),
+            F.greatest("doc_id", "hub_id").alias("id2"),
+        )
+    )
+
+    return small_pairs.union(big_pairs).distinct()
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, n_bands: int = 4
+) -> DataFrame:
+    """SimHash path: distinct (id1, id2) with Hamming(simhash) <= radius.
+
+    Exact within radius ``n_bands - 1`` by pigeonhole over 16-bit bands.
+    """
+    w = 64 // n_bands
+    mask = F.lit((1 << w) - 1)
+    # shiftrightunsigned keeps the top band well-defined for negative int64;
+    # band index is mixed into the bucket key so bands don't collide
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(i),
+                F.shiftrightunsigned(F.col("simhash64"), w * i).bitwiseAND(mask),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    sb = signatures.select(
+        "doc_id", F.posexplode(bands).alias("band", "bucket")
+    )
+    # same capped pairing as the MinHash path (identical boilerplate titles
+    # form mega-buckets; star pairing keeps them connected without O(c^2))
+    pairs = candidate_pairs(sb, cfg)
+    sims = signatures.select("doc_id", "simhash64")
+    return (
+        pairs.join(sims.select(F.col("doc_id").alias("id1"), F.col("simhash64").alias("s1")), on="id1")
+        .join(sims.select(F.col("doc_id").alias("id2"), F.col("simhash64").alias("s2")), on="id2")
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= cfg.simhash_hamming_max)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def simhash_edges(signatures, cfg: DedupConfig = DEFAULT_CONFIG):
+    """SimHash pairs as edge rows (score = 1 - hamming/64, rule='simhash')."""
+    pairs = simhash_candidate_pairs(signatures, cfg)
+    return pairs.select(
+        "id1",
+        "id2",
+        (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("jaccard"),
+        F.lit("simhash").alias("rule"),
+    )

@@ -1,0 +1,115 @@
+"""Stage 2 — signatures: normalized text -> shingle set + MinHash + SimHash.
+
+One Arrow ``mapInPandas`` pass per input partition computes, per doc:
+  - sorted unique 63-bit 5-gram shingle hashes (kept for the exact-Jaccard
+    verify join, which then runs JVM-side via array_intersect),
+  - 128-perm MinHash signature (NumPy kernel, functions/minhash.py),
+  - SimHash64 of the title-like field (first ``title_tokens`` tokens),
+  - content digest (xxhash64 of normalized text — computed JVM-side before
+    the UDF) for the exact-duplicate fast path, the web-scale analogue of the
+    reference's exact ``doi_id`` key (``data_pipeline/deduplicator.py:49-50``).
+
+No per-row Python outside the Arrow batch loop; token hashing is memoized per
+batch and shingle/minhash math is vectorized (BASELINE.json input_hint: "no
+per-row Python").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions.minhash import perm_params, minhash_signature
+from ..functions.shingles import shingle_hashes, token_hashes
+from ..functions.simhash import simhash64
+from ..functions.text import normalize_text_col
+
+SIGNATURE_FIELDS = [
+    StructField("doc_id", LongType(), False),
+    StructField("digest", LongType(), True),
+    StructField("minhash", ArrayType(LongType(), False), True),
+    StructField("simhash64", LongType(), True),
+    StructField("shingles", ArrayType(LongType(), False), True),
+    StructField("n_shingles", IntegerType(), True),
+    StructField("n_tokens", IntegerType(), True),
+]
+
+
+def signature_schema(extra: list[StructField] | None = None) -> StructType:
+    return StructType(SIGNATURE_FIELDS + (extra or []))
+
+
+def compute_signatures(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    text_col: str = "text_norm",
+    id_col: str = "doc_id",
+    title_tokens: int = 12,
+) -> DataFrame:
+    """(doc_id, text_norm) -> signatures table.
+
+    ``digest`` is computed with the JVM xxhash64 before entering the Arrow
+    kernel so the exact-dup fast path never leaves codegen.
+    """
+    k = cfg.shingle_k
+    a_param, b_param = perm_params(cfg)
+    out_schema = signature_schema()
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.xxhash64(F.col(text_col)).alias("digest"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            n = len(pdf)
+            minhashes = [None] * n
+            simhashes = np.zeros(n, dtype=np.int64)
+            shingle_lists = [None] * n
+            n_sh = np.zeros(n, dtype=np.int32)
+            n_tok = np.zeros(n, dtype=np.int32)
+            for i, text in enumerate(pdf["_text"].to_numpy()):
+                toks = text.split() if isinstance(text, str) else []
+                th = token_hashes(toks, memo)
+                sh = shingle_hashes(th, k)
+                minhashes[i] = minhash_signature(sh, a_param, b_param)
+                # SimHash over the title-like prefix (short-field path)
+                head = th[:title_tokens]
+                fp = simhash64(head)
+                simhashes[i] = np.int64(np.uint64(fp).astype(np.int64))
+                shingle_lists[i] = sh.astype(np.int64)
+                n_sh[i] = sh.size
+                n_tok[i] = len(toks)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "digest": pdf["digest"].to_numpy(),
+                    "minhash": minhashes,
+                    "simhash64": simhashes,
+                    "shingles": shingle_lists,
+                    "n_shingles": n_sh,
+                    "n_tokens": n_tok,
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=out_schema)
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the frozen normalization kernel output as ``text_norm``."""
+    return df.withColumn("text_norm", normalize_text_col(F.col(text_col)))

@@ -1,0 +1,101 @@
+"""Stage 4 — edges: exact-dup fast path + exact-Jaccard verification.
+
+Reference parity:
+  - exact path == the reference's exact ``doi_id`` key pass
+    (``data_pipeline/deduplicator.py:49-50, 117-128``): here the key is the
+    xxhash64 content digest of normalized text; every digest group is linked
+    to its min-id representative (star edges — O(group) not O(group^2),
+    which is what keeps the HOT/boilerplate class linear);
+  - Jaccard verify == the reference's fuzzy verification
+    (``rapidfuzz partial_ratio >= 80``, ``data_pipeline/enricher.py:197``)
+    made exact: candidates join back to their stored shingle sets and the
+    Jaccard is computed JVM-side with array_intersect — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+
+EDGE_COLUMNS = ["id1", "id2", "jaccard", "rule"]
+
+
+def exact_edges(signatures: DataFrame) -> DataFrame:
+    """Star edges linking each doc to the min doc_id of its digest group."""
+    w = Window.partitionBy("digest")
+    rep = signatures.select("doc_id", "digest").withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    return (
+        rep.filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("id1"),
+            F.col("doc_id").alias("id2"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact").alias("rule"),
+        )
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    rule: str = "minhash",
+) -> DataFrame:
+    """(id1, id2) candidates -> verified edges with exact shingle Jaccard."""
+    sig = signatures.select("doc_id", "shingles", "n_shingles")
+    joined = (
+        pairs.join(
+            sig.select(
+                F.col("doc_id").alias("id1"),
+                F.col("shingles").alias("sh1"),
+                F.col("n_shingles").alias("n1"),
+            ),
+            on="id1",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("id2"),
+                F.col("shingles").alias("sh2"),
+                F.col("n_shingles").alias("n2"),
+            ),
+            on="id2",
+        )
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.col("n1") + F.col("n2") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select("id1", "id2", "jaccard", F.lit(rule).alias("rule"))
+    )
+
+
+def combine_edges(*edge_frames: DataFrame) -> DataFrame:
+    """Union edge sets, keeping one row per pair (highest-precedence rule).
+
+    Rule precedence: exact > contain > minhash > simhash (mirrors the
+    reference's cascade order — exact key pass before fuzzy pass,
+    ``deduplicator.py:117-139``).
+    """
+    precedence = F.create_map(
+        F.lit("exact"), F.lit(0),
+        F.lit("contain"), F.lit(1),
+        F.lit("minhash"), F.lit(2),
+        F.lit("simhash"), F.lit(3),
+    )
+    all_edges = edge_frames[0]
+    for e in edge_frames[1:]:
+        all_edges = all_edges.unionByName(e)
+    w = Window.partitionBy("id1", "id2").orderBy(
+        precedence[F.col("rule")].asc(), F.col("jaccard").desc()
+    )
+    return (
+        all_edges.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,185 @@
+"""The dedup pipeline: extract -> signatures -> buckets -> edges -> components.
+
+Stage contract (FIXTURES.md §4): every stage commits a snapshot with
+per-partition lineage via ``CheckpointStore``; any stage is resumable because
+fingerprints chain (config + upstream fingerprint). This is the web-scale
+rewrite of the reference's run directory of per-stage CSVs + DuckDB run rows
+(``data_pipeline/main.py:148-161, 237-515``).
+
+Physical-plan notes (designed for 100 TB, verified on local[32]):
+  * exact duplicates collapse to one *digest representative* immediately
+    after the signatures stage; MinHash banding, SimHash banding and the
+    containment pass all run on representatives only — a corpus that is 30%
+    exact-dup (or has a mega boilerplate cluster) never inflates candidate
+    generation;
+  * candidate joins are keyed by (band, bucket) with hot buckets degraded to
+    bounded-degree star pairing (operators/lsh.py) + AQE skew splitting;
+  * Jaccard verification is JVM-side (array_intersect on stored shingle
+    sets) — Python appears only in the Arrow signature kernel and the final
+    substring check on containment survivors;
+  * components are iterative large-star/small-star self-joins with salted
+    hub keys (operators/components.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..operators import components as comp
+from ..operators import containment as cont
+from ..operators import lsh
+from ..operators import signatures as sigs
+from ..operators import verify
+from ..functions.text import extract_text_col, normalize_text_col
+from ..sources.catalog import CheckpointStore, chain_fingerprint
+
+STAGES = ("extract", "signatures", "buckets", "edges", "components")
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    fingerprints: dict = field(default_factory=dict)
+    timings: dict = field(default_factory=dict)
+    rows: dict = field(default_factory=dict)
+
+
+class DedupPipeline:
+    """Drives the checkpointed stages over an (url, warc_ts, html, text, lang) table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: CheckpointStore,
+        cfg: DedupConfig = DEFAULT_CONFIG,
+        input_fingerprint: str = "input",
+    ):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg
+        self.cfg_fp = chain_fingerprint(repr(sorted(cfg.to_dict().items())))
+        self.input_fp = input_fingerprint
+
+    # -- stage fingerprints chain --------------------------------------------
+    def fingerprint(self, stage: str) -> str:
+        idx = STAGES.index(stage)
+        parts = [self.input_fp, self.cfg_fp] + list(STAGES[: idx + 1])
+        return chain_fingerprint(*parts)
+
+    # -- stage bodies ----------------------------------------------------------
+    def _extract(self, pages: DataFrame) -> DataFrame:
+        extracted = extract_text_col(F.col("html"))
+        return pages.select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            "warc_ts",
+            "lang",
+            normalize_text_col(extracted).alias("text_norm"),
+        )
+
+    def _signatures(self, extract_df: DataFrame) -> DataFrame:
+        return sigs.compute_signatures(extract_df, self.cfg)
+
+    @staticmethod
+    def _representatives(signatures: DataFrame) -> DataFrame:
+        """One doc per content digest (min doc_id) — candidate-gen input."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        return (
+            signatures.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _buckets(self, signatures: DataFrame) -> DataFrame:
+        reps = self._representatives(signatures)
+        return lsh.band_buckets(reps, self.cfg)
+
+    def _edges(self, signatures: DataFrame, buckets: DataFrame, extract_df: DataFrame) -> DataFrame:
+        reps = self._representatives(signatures)
+        exact = verify.exact_edges(signatures)
+        minhash_pairs = lsh.candidate_pairs(buckets, self.cfg)
+        minhash = verify.jaccard_verify(minhash_pairs, reps, self.cfg, rule="minhash")
+        simhash = lsh.simhash_edges(reps, self.cfg)
+        contain_cand = cont.containment_candidates(reps, self.cfg)
+        contain = cont.containment_edges(contain_cand, reps, extract_df, self.cfg)
+        return verify.combine_edges(exact, contain, minhash, simhash)
+
+    def _components(self, edges: DataFrame, extract_df: DataFrame) -> DataFrame:
+        assign = comp.connected_components(
+            edges.select("id1", "id2"), self.cfg
+        )
+        docs = extract_df.select("doc_id")
+        return comp.attach_clusters(docs, assign).select("doc_id", "cluster_id")
+
+    # -- driver ---------------------------------------------------------------
+    def run(
+        self,
+        pages: DataFrame,
+        stages: tuple[str, ...] = STAGES,
+        resume: bool = True,
+    ) -> PipelineResult:
+        res = PipelineResult(run_id=self.store.run_id)
+        for stage in STAGES:
+            fp = self.fingerprint(stage)
+            res.fingerprints[stage] = fp
+            if stage not in stages:
+                continue
+            if resume and self.store.has_snapshot(stage, fp):
+                res.timings[stage] = 0.0
+                continue
+            t0 = time.monotonic()
+            df, key = self._build_stage(stage, pages)
+            info = self.store.write(stage, df, fp, key_col=key)
+            res.timings[stage] = time.monotonic() - t0
+            res.rows[stage] = info.rows
+        return res
+
+    def _build_stage(self, stage: str, pages: DataFrame) -> tuple[DataFrame, str]:
+        if stage == "extract":
+            return self._extract(pages), "doc_id"
+        if stage == "signatures":
+            return self._signatures(self.store.read("extract", self.fingerprint("extract"))), "doc_id"
+        if stage == "buckets":
+            return (
+                self._buckets(self.store.read("signatures", self.fingerprint("signatures"))),
+                "bucket",
+            )
+        if stage == "edges":
+            return (
+                self._edges(
+                    self.store.read("signatures", self.fingerprint("signatures")),
+                    self.store.read("buckets", self.fingerprint("buckets")),
+                    self.store.read("extract", self.fingerprint("extract")),
+                ),
+                "id1",
+            )
+        if stage == "components":
+            return (
+                self._components(
+                    self.store.read("edges", self.fingerprint("edges")),
+                    self.store.read("extract", self.fingerprint("extract")),
+                ),
+                "cluster_id",
+            )
+        raise ValueError(f"unknown stage {stage!r}")
+
+    # -- results ---------------------------------------------------------------
+    def clusters(self) -> DataFrame:
+        return self.store.read("components", self.fingerprint("components"))
+
+    def duplicate_pairs(self) -> DataFrame:
+        """All co-clustered pairs (id1 < id2) — the recall-metric frame."""
+        c = self.clusters()
+        a, b = c.alias("a"), c.alias("b")
+        return (
+            a.join(b, on=F.col("a.cluster_id") == F.col("b.cluster_id"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        )

@@ -1,0 +1,258 @@
+"""Deterministic synthetic web-page corpus with planted duplicate classes.
+
+Implements the fixture contract of ``FIXTURES.md §1``: an
+``(url, warc_ts, html, text, lang)`` table whose ground-truth duplicate
+clusters are known (hidden ``dup_class`` / ``group_key`` columns carried
+alongside for tests; the pipeline input view drops them).
+
+Planted classes (fractions of n):
+  HOT        [0.00, 0.05)  one shared boilerplate text — skew stressor
+  EXACT      [0.05, 0.15)  byte-identical text pairs, different url/ts
+  NEAR_HIGH  [0.15, 0.25)  ~2% contiguous-block token substitution (J >~ 0.9)
+  NEAR_MED   [0.25, 0.33)  ~6-9% contiguous-block edits (J ~ 0.72-0.87)
+  CONTAIN    [0.33, 0.39)  odd member = contiguous 30-45% slice of even member
+  TITLE_DUP  [0.39, 0.45)  identical 12-token title, unrelated bodies
+  CHAIN      [0.45, 0.51)  A~B, B~C, A!~C triples (transitivity test)
+  UNIQUE     [0.51, 1.00)  singletons — precision guard
+
+Generation is a pure function of (seed, n, i), so it runs **distributed**
+via ``spark.range(n).mapInPandas`` — no driver-side materialization; the
+same generator scales the bench corpus. (Driver-provided constraint: no
+wall-clock or global RNG; everything keyed off the explicit seed.)
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import random
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_SYLLABLES = [c + v for c in "bcdfghjklmnprstvwz" for v in ["a", "e", "i", "o", "u", "ar", "en", "il", "on", "us"]]
+
+
+def _rng(*parts) -> random.Random:
+    """Process-independent seeded RNG.
+
+    ``random.Random(tuple)`` would go through ``hash()``, which is salted by
+    PYTHONHASHSEED and differs across executor processes — so seeds are
+    derived from a blake2b digest of the repr instead.
+    """
+    import hashlib
+
+    digest = hashlib.blake2b(repr(parts).encode(), digest_size=8).digest()
+    return random.Random(int.from_bytes(digest, "big"))
+
+_BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("dup_class", StringType(), False),
+        StructField("group_key", StringType(), False),
+    ]
+)
+
+
+def _vocab(seed: int, size: int = 2000) -> list[str]:
+    rng = _rng("vocab", seed)
+    return ["".join(rng.choices(_SYLLABLES, k=rng.randint(2, 4))) for _ in range(size)]
+
+
+def _decorate(word: str, rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.05:
+        word = word.capitalize()
+    if rng.random() < 0.08:
+        word += rng.choice([",", ".", ";", "!"])
+    return word
+
+
+def _base_tokens(vocab: list[str], rng: random.Random, lo: int, hi: int) -> list[str]:
+    n = rng.randint(lo, hi)
+    return [_decorate(rng.choice(vocab), rng) for _ in range(n)]
+
+
+def _block_substitute(tokens: list[str], vocab: list[str], rng: random.Random, frac: float, blocks: int) -> list[str]:
+    """Replace `frac` of the tokens in `blocks` contiguous runs (keeps 5-gram
+    shingle damage ~ frac instead of ~ 5*frac for scattered edits)."""
+    out = list(tokens)
+    n = len(out)
+    per_block = max(1, int(n * frac / blocks))
+    for b in range(blocks):
+        if n - per_block <= 1:
+            break
+        start = rng.randint(0, n - per_block - 1)
+        for j in range(start, start + per_block):
+            out[j] = _decorate(rng.choice(vocab), rng)
+    return out
+
+
+_CLASS_BOUNDS = [
+    ("HOT", 0.00, 0.05, 1),
+    ("EXACT", 0.05, 0.15, 2),
+    ("NEAR_HIGH", 0.15, 0.25, 2),
+    ("NEAR_MED", 0.25, 0.33, 2),
+    ("CONTAIN", 0.33, 0.39, 2),
+    ("TITLE_DUP", 0.39, 0.45, 2),
+    ("CHAIN", 0.45, 0.51, 3),
+    ("UNIQUE", 0.51, 1.01, 1),
+]
+
+
+def _class_of(i: int, n: int) -> tuple[str, int, int]:
+    """-> (class, group ordinal within class, member index within group)."""
+    frac = i / n
+    for name, lo, hi, width in _CLASS_BOUNDS:
+        if lo <= frac < hi:
+            start = int(lo * n)
+            end = int(hi * n) if hi <= 1.0 else n
+            off = i - start
+            if name == "HOT":
+                return name, 0, off
+            if name == "UNIQUE":
+                return name, off, 0
+            # incomplete trailing group degrades to UNIQUE
+            if off // width >= (end - start) // width:
+                return "UNIQUE", i, 0
+            return name, off // width, off % width
+    return "UNIQUE", i, 0
+
+
+def _tokens_for(name: str, group: int, member: int, seed: int, vocab: list[str]) -> list[str]:
+    g_rng = _rng(seed, name, group)
+    if name == "HOT":
+        return _base_tokens(vocab, _rng(seed, "hotbase"), 200, 300)
+    if name == "UNIQUE":
+        return _base_tokens(vocab, g_rng, 50, 800)
+    if name == "EXACT":
+        return _base_tokens(vocab, g_rng, 100, 800)
+    if name == "NEAR_HIGH":
+        base = _base_tokens(vocab, g_rng, 300, 800)
+        if member == 0:
+            return base
+        m_rng = _rng(seed, name, group, member)
+        return _block_substitute(base, vocab, m_rng, frac=0.02, blocks=2)
+    if name == "NEAR_MED":
+        base = _base_tokens(vocab, g_rng, 300, 800)
+        if member == 0:
+            return base
+        m_rng = _rng(seed, name, group, member)
+        return _block_substitute(base, vocab, m_rng, frac=0.07, blocks=3)
+    if name == "CONTAIN":
+        base = _base_tokens(vocab, g_rng, 300, 800)
+        if member == 0:
+            return base
+        m_rng = _rng(seed, name, group, member)
+        length = max(20, int(len(base) * m_rng.uniform(0.30, 0.45)))
+        start = m_rng.randint(0, len(base) - length)
+        return base[start : start + length]
+    if name == "TITLE_DUP":
+        title_rng = _rng(seed, name, group, "title")
+        title = _base_tokens(vocab, title_rng, 12, 12)
+        body = _base_tokens(vocab, _rng(seed, name, group, member, "body"), 100, 400)
+        return title + body
+    if name == "CHAIN":
+        base = _base_tokens(vocab, g_rng, 400, 800)
+        if member == 0:
+            return base
+        m_rng = _rng(seed, name, group, member)
+        if member == 1:
+            # B: edit a block near the front -> J(A,B) ~ 0.8
+            return _block_substitute(base, vocab, m_rng, frac=0.10, blocks=1)
+        # C: B's front edit plus a distinct back edit -> J(B,C) ~ 0.8, J(A,C) ~ 0.65
+        b_rng = _rng(seed, name, group, 1)
+        b = _block_substitute(base, vocab, b_rng, frac=0.10, blocks=1)
+        out = list(b)
+        per = max(1, int(len(out) * 0.10))
+        start = len(out) - per - 1
+        for j in range(start, start + per):
+            out[j] = _decorate(m_rng.choice(vocab), m_rng)
+        return out
+    raise AssertionError(name)
+
+
+_BOILER_NAV = "<nav><a href=\"/\">home</a><a href=\"/about\">about</a><a href=\"/archive\">archive</a></nav>"
+_BOILER_FOOT = "<footer>&copy; example press — all rights reserved</footer>"
+
+
+def render_html(text: str, title: str) -> bytes:
+    body = html_mod.escape(text, quote=False)
+    doc = (
+        "<html><head><title>" + html_mod.escape(title, quote=False) + "</title></head>"
+        "<body>" + _BOILER_NAV + '<main id="content">' + body + "</main>" + _BOILER_FOOT + "</body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def gen_row(i: int, n: int, seed: int, vocab: list[str]) -> dict:
+    name, group, member = _class_of(i, n)
+    toks = _tokens_for(name, group, member, seed, vocab)
+    text = " ".join(toks)
+    rng = _rng(seed, "row", i)
+    url = f"https://example{i % 97}.test/p/{i}"
+    ts = _BASE_TS + timedelta(seconds=rng.randint(0, 30 * 86400 - 1))
+    lang = rng.choices(["en", "fr", "de"], weights=[8, 1, 1])[0]
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": render_html(text, " ".join(toks[:8])),
+        "text": text,
+        "lang": lang,
+        "dup_class": name,
+        "group_key": f"{name}:{group}" if name not in ("UNIQUE",) else f"UNIQUE:{i}",
+    }
+
+
+def generate_web_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus of n pages (truth columns included)."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = _vocab(seed)
+        for pdf in batches:
+            rows = [gen_row(int(i), n, seed, vocab) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(kernel, schema=SCHEMA)
+    )
+
+
+def pipeline_input(pages: DataFrame) -> DataFrame:
+    """Drop truth columns — the (url, warc_ts, html, text, lang) input view."""
+    return pages.select("url", "warc_ts", "html", "text", "lang")
+
+
+def true_pairs(pages: DataFrame) -> DataFrame:
+    """Ground-truth duplicate pairs (by doc_id = xxhash64(url)) from groups."""
+    ids = pages.select(
+        F.xxhash64("url").alias("doc_id"), "group_key", "dup_class"
+    ).filter(F.col("dup_class") != "UNIQUE")
+    a, b = ids.alias("a"), ids.alias("b")
+    return (
+        a.join(b, on=F.col("a.group_key") == F.col("b.group_key"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.dup_class").alias("dup_class"),
+        )
+    )
