@@ -68,9 +68,10 @@ def shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n < k:
-        acc = np.uint64(0)
-        for j in range(n):
-            acc ^= tok_hashes[j] * _POS_MULTIPLIERS[j]
+        with np.errstate(over="ignore"):  # uint64 wrap-around is the hash
+            acc = np.uint64(0)
+            for j in range(n):
+                acc ^= tok_hashes[j] * _POS_MULTIPLIERS[j]
         return np.unique(np.array([acc & _MASK63], dtype=np.uint64))
     m = n - k + 1
     acc = np.zeros(m, dtype=np.uint64)

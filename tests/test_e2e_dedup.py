@@ -1,0 +1,186 @@
+"""End-to-end cluster-assignment tests against an independent brute-force oracle.
+
+Per FIXTURES.md §1: the oracle is O(n^2) exact Jaccard (tuple shingles — no
+hashing, so it is implementation-independent) + containment + exact-text +
+SimHash-title rules, closed with union-find. Asserts dup-pair recall >= 0.99
+(BASELINE.json metric) and exact agreement with planted classes.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from infoscience_imports_spark.config import DedupConfig
+from infoscience_imports_spark.functions.simhash import hamming64, simhash64
+from infoscience_imports_spark.functions.shingles import token_hashes
+from infoscience_imports_spark.functions.text import normalize_text_py, extract_text_py
+from infoscience_imports_spark.plans.pipeline import DedupPipeline
+from infoscience_imports_spark.sources.catalog import CheckpointStore
+from infoscience_imports_spark.sources.synthetic import pipeline_input, true_pairs
+
+
+class UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _tuple_shingles(text: str, k: int = 5) -> set:
+    toks = text.split()
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {tuple(toks)}
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tiny_pages):
+    cfg = DedupConfig()
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="wh-e2e-"))
+    pipe = DedupPipeline(spark, store, cfg, input_fingerprint="e2e200")
+    pipe.run(pipeline_input(tiny_pages))
+    return pipe, cfg
+
+
+def _oracle_clusters(rows, cfg):
+    """Independent dup graph: exact, jaccard>=thr, substring, simhash<=r."""
+    uf = UnionFind()
+    docs = []
+    for r in rows:
+        norm = normalize_text_py(extract_text_py(bytes(r["html"])))
+        toks = norm.split()
+        docs.append(
+            {
+                "id": r["doc_id"],
+                "norm": norm,
+                "sh": _tuple_shingles(norm, cfg.shingle_k),
+                "title_fp": simhash64(token_hashes(toks[:12])),
+            }
+        )
+        uf.find(r["doc_id"])
+    n = len(docs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = docs[i], docs[j]
+            if a["norm"] == b["norm"]:
+                uf.union(a["id"], b["id"])
+                continue
+            inter = len(a["sh"] & b["sh"])
+            if inter:
+                jac = inter / (len(a["sh"]) + len(b["sh"]) - inter)
+                if jac >= cfg.jaccard_threshold:
+                    uf.union(a["id"], b["id"])
+                    continue
+                small, big = (a, b) if len(a["sh"]) <= len(b["sh"]) else (b, a)
+                if (
+                    len(small["sh"]) > 0
+                    and inter / len(small["sh"]) >= cfg.containment_threshold
+                    and small["norm"] in big["norm"]
+                ):
+                    uf.union(a["id"], b["id"])
+                    continue
+            if hamming64(a["title_fp"], b["title_fp"]) <= cfg.simhash_hamming_max:
+                uf.union(a["id"], b["id"])
+    return {d["id"]: uf.find(d["id"]) for d in docs}
+
+
+def test_recall_vs_planted_truth(spark, tiny_pages, pipeline_run):
+    pipe, _ = pipeline_run
+    clusters = pipe.clusters()
+    tp = true_pairs(tiny_pages)
+    j = (
+        tp.join(
+            clusters.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"),
+            "id1",
+        ).join(
+            clusters.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"),
+            "id2",
+        )
+    )
+    stats = j.agg(
+        F.avg((F.col("c1") == F.col("c2")).cast("double")).alias("recall"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert stats["n"] > 50
+    assert stats["recall"] >= 0.99
+
+
+def test_unique_docs_stay_singletons(spark, tiny_pages, pipeline_run):
+    pipe, _ = pipeline_run
+    clusters = pipe.clusters()
+    uniq = tiny_pages.filter(F.col("dup_class") == "UNIQUE").select(
+        F.xxhash64("url").alias("doc_id")
+    )
+    merged = (
+        uniq.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert merged == 0
+
+
+def test_cluster_assignments_match_bruteforce_oracle(spark, tiny_pages, pipeline_run):
+    pipe, cfg = pipeline_run
+    rows = tiny_pages.select(
+        F.xxhash64("url").alias("doc_id"), "html"
+    ).collect()
+    oracle = _oracle_clusters(rows, cfg)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in pipe.clusters().collect()}
+    assert set(got) == set(oracle)
+
+    # compare as partitions (cluster-id choice is min-id in both — compare sets)
+    def parts(assign):
+        inv = {}
+        for k, v in assign.items():
+            inv.setdefault(v, set()).add(k)
+        return {frozenset(v) for v in inv.values()}
+
+    oracle_parts = parts(oracle)
+    got_parts = parts(got)
+    # recall: every oracle co-pair must be co-clustered in got
+    oracle_pairs = {
+        (min(a, b), max(a, b))
+        for grp in oracle_parts
+        for a in grp
+        for b in grp
+        if a < b
+    }
+    got_pairs = {
+        (min(a, b), max(a, b))
+        for grp in got_parts
+        for a in grp
+        for b in grp
+        if a < b
+    }
+    missed = oracle_pairs - got_pairs
+    extra = got_pairs - oracle_pairs
+    recall = 1 - len(missed) / max(1, len(oracle_pairs))
+    assert recall >= 0.99, f"missed {len(missed)} of {len(oracle_pairs)}"
+    assert not extra, f"pipeline merged {len(extra)} pairs the oracle would not"
+
+
+def test_determinism_two_runs_identical(spark, tiny_pages):
+    cfg = DedupConfig()
+    outs = []
+    for run in range(2):
+        store = CheckpointStore(spark, tempfile.mkdtemp(prefix=f"wh-det{run}-"))
+        pipe = DedupPipeline(spark, store, cfg, input_fingerprint="det200")
+        pipe.run(pipeline_input(tiny_pages).repartition(4 if run == 0 else 7))
+        outs.append(sorted((r["doc_id"], r["cluster_id"]) for r in pipe.clusters().collect()))
+    assert outs[0] == outs[1]
