@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also times the full web-dedup pipeline (extract -> components) over a
+deterministic 20k-page synthetic corpus and reports pages/sec — the
+throughput number BENCH/BASELINE.md tracks across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from infoscience_imports_spark.config import DedupConfig  # noqa: E402
+from infoscience_imports_spark.plans.pipeline import DedupPipeline  # noqa: E402
+from infoscience_imports_spark.session import get_spark  # noqa: E402
+from infoscience_imports_spark.sources.catalog import CheckpointStore  # noqa: E402
+from infoscience_imports_spark.sources.synthetic import (  # noqa: E402
+    generate_web_pages,
+    pipeline_input,
+)
+
+HEADLINE = [
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprints",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top_orders_per_cust",
+    "orders_running_window",
+    "monthly_order_stats",
+    "events_sessionize",
+    "events_hourly",
+    "events_asof_last_error",
+]
+
+WEBDEDUP_PAGES = int(os.environ.get("SPARK_GRAFT_WEBDEDUP_PAGES", "20000"))
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
+    )
+    # warmup: absorb JVM/codegen/Arrow startup so timings measure the queries
+    run_noop(spark.range(1_000_000).selectExpr("sum(id) as s"))
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        run_noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # full dedup pipeline throughput on the synthetic web corpus
+    wh = tempfile.mkdtemp(prefix="bench-wh-")
+    pages = pipeline_input(generate_web_pages(spark, WEBDEDUP_PAGES, seed=42))
+    cfg = DedupConfig(shuffle_partitions=max(2 * cpus, 8))
+    pipe = DedupPipeline(
+        spark, CheckpointStore(spark, wh), cfg, input_fingerprint=f"bench{WEBDEDUP_PAGES}"
+    )
+    t0 = time.monotonic()
+    pipe.run(pages, resume=False)
+    wall = time.monotonic() - t0
+    shutil.rmtree(wh, ignore_errors=True)
+    timings["webdedup_pipeline_20k"] = round(wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "webdedup_pages": WEBDEDUP_PAGES,
+                "webdedup_pages_per_sec": round(WEBDEDUP_PAGES / wall, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

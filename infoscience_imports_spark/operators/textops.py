@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are pure Column expressions (whole-stage codegen) — language
+ID, quality scoring and token counting never leave the JVM. The winnowing
+fingerprint uses explode + window over JVM xxhash64 (no Python).
+
+These generalize the reference's scalar-function surface (SURVEY.md §2.8:
+clean_title/clean_value normalization kernels, fuzzy keyword predicates)
+into the standard web-corpus curation set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text_col
+
+# deliberately small, deterministic marker lists (shared with oracle SQL)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "las"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish token pattern: letter runs, digit runs, single other glyphs
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of normalized text (empty text -> empty array)."""
+    norm = normalize_text_col(text)
+    return F.filter(F.split(norm, " "), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Sub-token count under the BPE-ish regex (raw text, pre-normalization)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Marker-word language ID: the language with the most marker hits wins.
+
+    Deterministic tie-break by fixed language order; 'und' when no marker
+    appears. Shares its exact semantics with the SQL oracle in
+    ``__spark_entry__`` — keep both in sync.
+    """
+    toks = tokens_col(text)
+
+    def marker_count(marker: str):
+        # NB: a two-arg lambda in F.filter means (element, index) — keep one arg
+        return F.size(F.filter(toks, lambda x: x == F.lit(marker)))
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        score = sum((marker_count(m) for m in markers), start=F.lit(0))
+        scores.append((lang, score))
+    # argmax with fixed order tie-break: fold over pairs
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword ratio features + a composite score."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin([F.lit(s) for s in STOPWORDS]))
+    ).cast("double")
+
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "avg_token_len": safe(n_alpha, n_tok),
+            "alpha_ratio": safe(n_alpha, n_chars),
+            "punct_ratio": safe(n_punct, n_chars),
+            "stopword_ratio": safe(n_stop, n_tok),
+        }
+    ).withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.col("alpha_ratio") * 0.4
+            + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2,
+            6,
+        ),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — public).
+
+    k-gram rolling hashes, then the min hash of every sliding window of
+    ``window`` consecutive k-grams is selected; distinct selected hashes are
+    the doc's fingerprints. Fully JVM-side: posexplode + xxhash64 + a
+    min-over-rolling-frame window.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    w_gram = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, k - 1)
+    )
+    grams = (
+        hashed.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("gram_h", F.pmod(F.sum(F.pmod(F.col("h"), F.lit(1 << 31))).over(w_gram), F.lit(1 << 31)))
+        .filter(F.col("pos") <= F.col("n") - k)
+    )
+    w_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    selected = grams.withColumn("fp", F.min("gram_h").over(w_win))
+    return selected.groupBy("doc_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("fp"))).alias("fingerprints"),
+        F.size(F.array_distinct(F.collect_list("fp"))).alias("n_fingerprints"),
+    )
