@@ -58,9 +58,11 @@ def containment_candidates(
         F.col("n_shingles").alias("big_n"),
         F.explode("shingles").alias("sh"),
     )
-    # keep only postings for hash values that are someone's bottom-k
+    # keep only postings for hash values that are someone's bottom-k;
+    # the distinct bottom-k set is ~k rows/doc of one long — broadcast it so
+    # the full postings explode is filtered map-side with no shuffle
     needed = bk.select("sh").distinct()
-    postings = postings.join(needed, on="sh", how="left_semi")
+    postings = postings.join(F.broadcast(needed), on="sh", how="left_semi")
 
     matched = (
         bk.join(postings, on="sh")

@@ -49,18 +49,17 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(band, bucket, doc_id) -> distinct (id1, id2) with id1 < id2."""
-    from pyspark.sql import Window
+    """(band, bucket, doc_id) -> distinct (id1, id2) with id1 < id2.
 
-    w = Window.partitionBy("band", "bucket")
-    sized = buckets.withColumn("bsize", F.count(F.lit(1)).over(w)).withColumn(
-        "brank", F.row_number().over(w.orderBy("doc_id"))
-    )
+    Hot-bucket detection uses a partial-aggregated groupBy (combiner
+    map-side) and a **broadcast** of the hot-bucket list instead of a global
+    window — no full sort of the bucket table. Hot buckets degrade to star
+    pairing against their ``hub_count`` smallest doc_ids.
+    """
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    hot = sizes.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket")
 
-    small = sized.filter(F.col("bsize") <= cfg.bucket_cap).select(
-        "band", "bucket", "doc_id"
-    )
-    # all-pairs inside small buckets
+    small = buckets.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
     left = small.alias("l")
     right = small.alias("r")
     small_pairs = (
@@ -75,14 +74,17 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
         .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
     )
 
-    # hot buckets: star pairing against the hub_count smallest ids
-    hub_count = 3
-    big = sized.filter(F.col("bsize") > cfg.bucket_cap)
-    hubs = big.filter(F.col("brank") <= hub_count).select(
-        "band", "bucket", F.col("doc_id").alias("hub_id")
+    # hot buckets: star pairing against two hubs (bucket min and max doc_id).
+    # min/max are partial-aggregable — no per-bucket materialization, so a
+    # 10^7-doc mega-bucket still costs O(bucket) map-side work.
+    big = buckets.join(F.broadcast(hot), on=["band", "bucket"], how="left_semi")
+    hubs = (
+        big.groupBy("band", "bucket")
+        .agg(F.min("doc_id").alias("h1"), F.max("doc_id").alias("h2"))
+        .select("band", "bucket", F.explode(F.array_distinct(F.array("h1", "h2"))).alias("hub_id"))
     )
     big_pairs = (
-        big.join(hubs, on=["band", "bucket"])
+        big.join(F.broadcast(hubs), on=["band", "bucket"])
         .filter(F.col("doc_id") != F.col("hub_id"))
         .select(
             F.least("doc_id", "hub_id").alias("id1"),

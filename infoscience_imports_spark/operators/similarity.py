@@ -47,6 +47,13 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def unit_vec(a):
+    """Vector divided by its L2 norm (one pass per row, done once — pair
+    scoring then needs only a dot product instead of dot + two norms)."""
+    n = _norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -56,7 +63,12 @@ def cosine_topk(
     vec_q: str = "embedding",
     vec_c: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query (brute force; broadcast the queries)."""
+    """Exact top-k neighbors per query (brute force; broadcast the queries).
+
+    NB: cosine is computed as dot/(|a|*|b|) per pair (NOT via pre-normalized
+    vectors) to stay bit-identical with reference engines' list_cosine — the
+    oracle-parity contract. The hot path for scale is ann_signlsh_topk.
+    """
     q = queries.select(F.col(id_q).alias("query_id"), F.col(vec_q).alias("_qv"))
     c = corpus.select(F.col(id_c).alias("neighbor_id"), F.col(vec_c).alias("_cv"))
     scored = (
@@ -74,12 +86,22 @@ def cosine_topk(
 
 
 def similar_pairs(corpus: DataFrame, threshold: float, id_c: str = "vec_id", vec_c: str = "embedding") -> DataFrame:
-    """All pairs with cosine >= threshold (id1 < id2) — embedding near-dup."""
-    a = corpus.select(F.col(id_c).alias("id1"), F.col(vec_c).alias("_v1"))
-    b = corpus.select(F.col(id_c).alias("id2"), F.col(vec_c).alias("_v2"))
+    """All pairs with cosine >= threshold (id1 < id2) — embedding near-dup.
+
+    cosine(a,b) == dot(a,b)/(|a|*|b|) evaluated per pair so the result is
+    bit-identical to the SQL oracle; the norms are joined in as precomputed
+    scalars (one array pass per row instead of two per pair).
+    """
+    base = corpus.select(
+        F.col(id_c).alias("id"),
+        F.transform(F.col(vec_c), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = base.select(F.col("id").alias("id1"), F.col("v").alias("_v1"), F.col("nrm").alias("_n1"))
+    b = base.select(F.col("id").alias("id2"), F.col("v").alias("_v2"), F.col("nrm").alias("_n2"))
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("sim", cosine_col(F.col("_v1"), F.col("_v2")))
+        F.broadcast(a)
+        .join(b, F.col("id1") < F.col("id2"))
+        .withColumn("sim", _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )

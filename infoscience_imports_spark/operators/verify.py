@@ -47,8 +47,13 @@ def jaccard_verify(
 ) -> DataFrame:
     """(id1, id2) candidates -> verified edges with exact shingle Jaccard."""
     sig = signatures.select("doc_id", "shingles", "n_shingles")
+    # the pair list is narrow (two longs) — broadcast it so the wide shingle
+    # arrays stream through the first join without a shuffle; the second join
+    # is left to AQE (its left side carries sh1 arrays and may exceed the
+    # broadcast budget at cluster scale)
     joined = (
-        pairs.join(
+        pairs.hint("broadcast")
+        .join(
             sig.select(
                 F.col("doc_id").alias("id1"),
                 F.col("shingles").alias("sh1"),

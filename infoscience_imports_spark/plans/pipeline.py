@@ -83,26 +83,31 @@ class DedupPipeline:
         )
 
     def _signatures(self, extract_df: DataFrame) -> DataFrame:
-        return sigs.compute_signatures(extract_df, self.cfg)
+        """Signature kernel + digest-representative flag.
+
+        ``is_rep`` (min doc_id of each digest group) is computed once here and
+        persisted, so the three candidate-generation paths downstream filter a
+        stored boolean instead of re-running the window per path.
+        """
+        from pyspark.sql import Window
+
+        sg = sigs.compute_signatures(extract_df, self.cfg)
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        return sg.withColumn("is_rep", F.row_number().over(w) == 1)
 
     @staticmethod
     def _representatives(signatures: DataFrame) -> DataFrame:
         """One doc per content digest (min doc_id) — candidate-gen input."""
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("digest").orderBy("doc_id")
-        return (
-            signatures.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return signatures.filter(F.col("is_rep"))
 
     def _buckets(self, signatures: DataFrame) -> DataFrame:
         reps = self._representatives(signatures)
         return lsh.band_buckets(reps, self.cfg)
 
     def _edges(self, signatures: DataFrame, buckets: DataFrame, extract_df: DataFrame) -> DataFrame:
-        reps = self._representatives(signatures)
+        # the wide signature table feeds four candidate paths — cache the
+        # representative slice once instead of re-scanning parquet per path
+        reps = self._representatives(signatures).cache()
         exact = verify.exact_edges(signatures)
         minhash_pairs = lsh.candidate_pairs(buckets, self.cfg)
         minhash = verify.jaccard_verify(minhash_pairs, reps, self.cfg, rule="minhash")

@@ -90,24 +90,21 @@ class CheckpointStore:
         data_dir = os.path.join(tmp, "data")
         df.write.mode("overwrite").parquet(data_dir)
 
-        # per-file lineage from the committed bytes (not the logical plan)
+        # per-file lineage from the committed bytes (not the logical plan).
+        # The checksum hashes the key column (order-insensitive sum) — full
+        # row hashing would re-read every wide column a second time per stage.
         written = self.spark.read.parquet(data_dir)
         key = F.col(key_col) if key_col and key_col in written.columns else F.lit(None)
         manifest = (
-            written.groupBy(F.input_file_name().alias("file"))
+            written.select(F.input_file_name().alias("file"), key.alias("_k"))
+            .groupBy("file")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.coalesce(
-                    F.sum(
-                        F.pmod(
-                            F.xxhash64(*[F.col(c) for c in written.columns]),
-                            F.lit(1 << 31),
-                        )
-                    ),
-                    F.lit(0),
+                    F.sum(F.pmod(F.xxhash64("_k"), F.lit(1 << 31))), F.lit(0)
                 ).alias("checksum"),
-                F.min(key).cast("string").alias("min_key"),
-                F.max(key).cast("string").alias("max_key"),
+                F.min("_k").cast("string").alias("min_key"),
+                F.max("_k").cast("string").alias("max_key"),
             )
             .withColumn("run_id", F.lit(self.run_id))
             .withColumn("stage", F.lit(stage))
