@@ -1,0 +1,138 @@
+"""Scaling-efficiency evidence: same pipeline, same input, N vs 4N cores.
+
+The north rule requires >= 0.8 throughput scaling efficiency between two
+cluster sizes. In this sandbox the two "cluster sizes" are two local-mode
+parallelism levels (fresh JVM each, so nothing is shared):
+
+    eff = (T_N / T_4N) / 4        (1.0 = perfectly linear)
+
+Usage:
+    python bench_scaling.py [--pages 100000] [--cores 8,32]
+    python bench_scaling.py --worker --cores N --corpus DIR   (internal)
+
+Results are printed as JSON and appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(cores: int, corpus: str) -> None:
+    from infoscience_imports_spark.config import DedupConfig
+    from infoscience_imports_spark.plans.pipeline import DedupPipeline
+    from infoscience_imports_spark.session import get_spark
+    from infoscience_imports_spark.sources.catalog import CheckpointStore
+    from infoscience_imports_spark.sources.synthetic import generate_web_pages, pipeline_input
+
+    spark = get_spark(
+        app_name=f"scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(2 * cores, 8),
+    )
+    cfg = DedupConfig(shuffle_partitions=max(2 * cores, 8))
+    # warm the JIT/codegen paths with a small run (untimed)
+    wwh = tempfile.mkdtemp(prefix="scale-warm-")
+    DedupPipeline(spark, CheckpointStore(spark, wwh), cfg, "warm").run(
+        pipeline_input(generate_web_pages(spark, 2000, seed=1)), resume=False
+    )
+
+    pages = spark.read.parquet(corpus)
+    n = pages.count()
+    wh = tempfile.mkdtemp(prefix=f"scale-{cores}-")
+    pipe = DedupPipeline(spark, CheckpointStore(spark, wh), cfg, input_fingerprint="scale")
+    t0 = time.monotonic()
+    res = pipe.run(pages, resume=False)
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "pages": n,
+                "wall_sec": round(wall, 2),
+                "pages_per_sec": round(n / wall, 1),
+                "stages": {k: round(v, 2) for k, v in res.timings.items()},
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--corpus", default=None)
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(int(args.cores), args.corpus)
+        return
+
+    from infoscience_imports_spark.session import get_spark
+    from infoscience_imports_spark.sources.synthetic import generate_web_pages, pipeline_input
+
+    corpus = tempfile.mkdtemp(prefix="scale-corpus-")
+    spark = get_spark(app_name="scale-gen", master="local[32]")
+    pipeline_input(generate_web_pages(spark, args.pages, seed=42)).write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    spark.stop()
+
+    results = []
+    for cores in [int(c) for c in args.cores.split(",")]:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores), "--corpus", corpus],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:] + "\n")
+            raise SystemExit(f"worker cores={cores} produced no result")
+        results.append(json.loads(line[-1][len("WORKER_RESULT "):]))
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / ratio
+    summary = {
+        "pages": args.pages,
+        "runs": results,
+        "speedup": round(lo["wall_sec"] / hi["wall_sec"], 2),
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## Scaling run: {args.pages} pages, cores {args.cores}\n\n"
+            "| cores | wall (s) | pages/sec | stages |\n|---|---|---|---|\n"
+        )
+        for r in results:
+            f.write(
+                f"| {r['cores']} | {r['wall_sec']} | {r['pages_per_sec']} | "
+                f"`{json.dumps(r['stages'])}` |\n"
+            )
+        f.write(
+            f"\n**speedup {summary['speedup']}x over {ratio:.0f}x cores -> "
+            f"scaling efficiency {summary['scaling_efficiency']}** "
+            f"(target >= 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""spark-submit entry point: checkpointed stage driver with resume.
+
+Usage (north_rule launch mode)::
+
+    spark-submit --py-files infoscience_imports_spark.zip \
+        -m infoscience_imports_spark.cli run \
+        --input /path/to/web_pages_parquet \
+        --warehouse /path/to/warehouse \
+        --stage all|extract|signatures|buckets|edges|components \
+        [--resume] [--cores N] [--shuffle-partitions P]
+
+    python -m infoscience_imports_spark.cli synth --pages 100000 --out DIR
+    python -m infoscience_imports_spark.cli manifest --warehouse DIR
+
+Replaces the reference's CLI (``data_pipeline/main.py:521-829``): the
+``--stage`` flag generalizes its step flags, ``--resume`` generalizes its
+stateless re-run + dedup-against-sink recovery story (``README.md:463-471``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import DedupConfig
+from .plans.pipeline import STAGES, DedupPipeline
+from .session import get_spark
+from .sources.catalog import CheckpointStore, chain_fingerprint
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    spark = get_spark(
+        app_name="webdedup",
+        master=f"local[{args.cores}]" if args.cores else None,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg = DedupConfig(
+        shuffle_partitions=args.shuffle_partitions
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    pages = spark.read.parquet(args.input)
+    store = CheckpointStore(spark, args.warehouse, run_id=args.run_id)
+    pipe = DedupPipeline(
+        spark, store, cfg, input_fingerprint=chain_fingerprint("input", args.input)
+    )
+    stages = STAGES if args.stage == "all" else tuple(
+        s for s in STAGES if STAGES.index(s) <= STAGES.index(args.stage)
+    )
+    res = pipe.run(pages, stages=stages, resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "timings_sec": {k: round(v, 2) for k, v in res.timings.items()},
+                "rows": res.rows,
+                "fingerprints": res.fingerprints,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from .sources.synthetic import generate_web_pages, pipeline_input
+
+    spark = get_spark(app_name="webdedup-synth")
+    df = generate_web_pages(spark, args.pages, seed=args.seed)
+    if not args.keep_truth:
+        df = pipeline_input(df)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"pages": args.pages, "out": args.out}))
+    return 0
+
+
+def cmd_manifest(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="webdedup-manifest")
+    store = CheckpointStore(spark, args.warehouse)
+    store.manifest(args.stage).orderBy("stage", "file").show(100, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="infoscience_imports_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="run the dedup pipeline")
+    p_run.add_argument("--input", required=True)
+    p_run.add_argument("--warehouse", required=True)
+    p_run.add_argument("--stage", default="all", choices=("all",) + STAGES)
+    p_run.add_argument("--resume", action="store_true")
+    p_run.add_argument("--run-id", default=None)
+    p_run.add_argument("--cores", type=int, default=None)
+    p_run.add_argument("--shuffle-partitions", type=int, default=None)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_syn = sub.add_parser("synth", help="generate the synthetic corpus")
+    p_syn.add_argument("--pages", type=int, default=20000)
+    p_syn.add_argument("--seed", type=int, default=42)
+    p_syn.add_argument("--out", required=True)
+    p_syn.add_argument("--keep-truth", action="store_true")
+    p_syn.set_defaults(fn=cmd_synth)
+
+    p_man = sub.add_parser("manifest", help="show stage lineage")
+    p_man.add_argument("--warehouse", required=True)
+    p_man.add_argument("--stage", default=None)
+    p_man.set_defaults(fn=cmd_manifest)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,11 +27,15 @@ def get_spark(
     cores = os.cpu_count() or 4
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    n = _parallelism_of(master, cores)
     if shuffle_partitions is None:
         # size shuffles to actual parallelism so an N-core and a 4N-core run
         # are both partition-fed (north-rule scaling evidence depends on this)
-        n = _parallelism_of(master, cores)
         shuffle_partitions = max(2 * n, 8)
+    # heap must scale with task concurrency: 32 concurrent tasks on an 8g
+    # heap spend more time in GC than in the operators (measured 4x slowdown
+    # on map-heavy stages); ~1.5g per task slot keeps GC off the critical path
+    default_heap = f"{max(8, int(n * 1.5))}g"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -44,7 +48,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_heap))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -95,8 +95,14 @@ class CheckpointStore:
         # row hashing would re-read every wide column a second time per stage.
         written = self.spark.read.parquet(data_dir)
         key = F.col(key_col) if key_col and key_col in written.columns else F.lit(None)
+        # input_file_name sees the pre-rename tmp dir — record the final path
         manifest = (
-            written.select(F.input_file_name().alias("file"), key.alias("_k"))
+            written.select(
+                F.regexp_replace(
+                    F.input_file_name(), r"\.tmp-[0-9a-f]+/", "/"
+                ).alias("file"),
+                key.alias("_k"),
+            )
             .groupBy("file")
             .agg(
                 F.count(F.lit(1)).alias("rows"),

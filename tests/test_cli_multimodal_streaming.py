@@ -1,0 +1,113 @@
+"""CLI surface, multimodal plumbing, and incremental streaming tests."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from infoscience_imports_spark.operators.multimodal import (
+    extract_media_meta,
+    fake_media,
+    media_features,
+    sample_frames,
+)
+from infoscience_imports_spark.sources.synthetic import SCHEMA, generate_web_pages, pipeline_input
+from infoscience_imports_spark.streaming.incremental import IncrementalDedup
+from infoscience_imports_spark.config import DedupConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_run_and_resume(spark, tiny_pages):
+    # one CLI subprocess exercising synth + run + resume end-to-end
+    out_dir = tempfile.mkdtemp(prefix="cli-in-")
+    wh = tempfile.mkdtemp(prefix="cli-wh-")
+    pipeline_input(tiny_pages).write.mode("overwrite").parquet(out_dir)
+    cmd = [
+        sys.executable, "-m", "infoscience_imports_spark.cli", "run",
+        "--input", out_dir, "--warehouse", wh,
+        "--stage", "all", "--resume", "--cores", "4",
+    ]
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=500)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    payload = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert payload["rows"]["components"] == 200
+    assert set(payload["fingerprints"]) == {"extract", "signatures", "buckets", "edges", "components"}
+    # resume: second invocation skips every stage
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=500)
+    payload2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert all(v == 0.0 for v in payload2["timings_sec"].values())
+    shutil.rmtree(out_dir)
+    shutil.rmtree(wh)
+
+
+def _media_df(spark):
+    rows = [
+        Row(media_id=1, payload=bytearray(fake_media(1, "imag", 64, 48, 1))),
+        Row(media_id=2, payload=bytearray(fake_media(2, "vide", 32, 32, 10))),
+        Row(media_id=3, payload=bytearray(fake_media(3, "imag", 8, 8, 1))),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_media_meta_roundtrip(spark):
+    got = {r["media_id"]: r for r in extract_media_meta(_media_df(spark)).collect()}
+    assert got[1]["kind"] == "imag" and got[1]["width"] == 64 and got[1]["height"] == 48
+    assert got[2]["n_frames"] == 10
+    assert got[3]["n_bytes"] == 20 + 64
+
+
+def test_media_decode_stub_raises_on_real_payload(spark):
+    df = spark.createDataFrame([Row(media_id=9, payload=bytearray(b"\x89PNG\r\n..."))])
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_media_meta(df).collect()
+
+
+def test_media_features_deterministic_unit_norm(spark):
+    feats = {r["media_id"]: r["features"] for r in media_features(_media_df(spark)).collect()}
+    assert len(feats[1]) == 16
+    assert abs(sum(x * x for x in feats[1]) - 1.0) < 1e-5
+    feats2 = {r["media_id"]: r["features"] for r in media_features(_media_df(spark)).collect()}
+    assert feats == feats2
+
+
+def test_frame_sampling(spark):
+    frames = sample_frames(_media_df(spark), every_nth=3).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_id[2] == [0, 3, 6, 9]
+    assert by_id[1] == [0]
+
+
+def test_incremental_streaming_dedup(spark):
+    state = tempfile.mkdtemp(prefix="stream-state-")
+    in_dir = tempfile.mkdtemp(prefix="stream-in-")
+    pages = generate_web_pages(spark, 120, seed=3)
+    pipeline_input(pages).write.mode("overwrite").parquet(in_dir)
+
+    inc = IncrementalDedup(spark, state, DedupConfig(shuffle_partitions=8))
+    q = inc.start(in_dir, schema=pipeline_input(pages).schema)
+    q.awaitTermination(300)
+
+    # exact-dup groups collapse: unique rows <= total, and re-running the same
+    # input as a second batch adds nothing
+    total = pipeline_input(pages).count()
+    first = inc.unique_docs().count()
+    assert 0 < first <= total
+
+    again_dir = in_dir + "-again"
+    pipeline_input(pages).write.mode("overwrite").parquet(again_dir)
+    inc.checkpoint_dir = inc.checkpoint_dir + "2"
+    q2 = inc.start(again_dir, schema=pipeline_input(pages).schema)
+    q2.awaitTermination(300)
+    assert inc.unique_docs().count() == first  # all dups vs accumulated state
+    shutil.rmtree(state)
+    shutil.rmtree(in_dir)
