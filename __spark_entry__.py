@@ -20,6 +20,8 @@ from infoscience_imports_spark.config import DedupConfig
 from infoscience_imports_spark.functions.text import normalize_text_col
 from infoscience_imports_spark.operators import lsh, signatures as sigs, verify
 from infoscience_imports_spark.operators.components import attach_clusters, connected_components
+from infoscience_imports_spark.operators.family import aggregate_families
+from infoscience_imports_spark.operators.upsert import upsert
 from infoscience_imports_spark.operators.similarity import (
     ann_signlsh_topk,
     cosine_topk,
@@ -485,6 +487,54 @@ def q_orders_pagination(spark, sf_dir):
     )
 
 
+
+def q_family_agg_orders(spark, sf_dir):
+    """A10 family aggregation pattern: per order, latest line wins scalars,
+    multi-valued fields union-dedup-sorted (epo_ops_client.py:775-897)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("pk", F.array("l_partkey"))
+    fam = aggregate_families(
+        li,
+        family_col="l_orderkey",
+        recency_col="l_shipdate",
+        scalar_cols=("l_returnflag", "l_linestatus"),
+        multi_cols=("pk",),
+        id_col="l_linenumber",
+    )
+    return fam.select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("win_returnflag"),
+        F.col("l_linestatus").alias("win_linestatus"),
+        F.col("pk").alias("part_keys"),
+        F.col("members_internal_ids").alias("line_numbers"),
+        F.col("family_size").alias("n_lines"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+def q_upsert_customers(spark, sf_dir):
+    """A12/S10 upsert pattern: two order batches merged with counter +
+    COALESCE semantics (pipeline_db.py:513-539)."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    b1 = orders.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("prio")
+    )
+    b2 = orders.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("prio")
+    )
+    t1 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2026-02-01 00:00:00").cast("timestamp")
+    m1 = upsert(None, b1, "cust", ("prio",), now_col=t1)
+    m2 = upsert(m1, b2, "cust", ("prio",), now_col=t2)
+    return m2.select(
+        "cust",
+        "prio",
+        "seen_count",
+        F.date_format("first_seen", "yyyy-MM-dd").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd").alias("last_seen"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -516,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_asof_last_error": q_events_asof_last_error,
         "orders_pagination": q_orders_pagination,
+        "family_agg_orders": q_family_agg_orders,
+        "upsert_customers": q_upsert_customers,
     }
 
 
@@ -770,6 +822,40 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_us
               FROM events)
             SELECT event_id, user_id, last_error_us FROM a WHERE event_type = 'click'
+        """,
+        "family_agg_orders": """
+            WITH ranked AS (
+              SELECT l_orderkey, l_returnflag, l_linestatus, l_shipdate,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                                 l_returnflag DESC, l_linestatus DESC) AS rn
+              FROM lineitem)
+            SELECT g.l_orderkey,
+                   w.l_returnflag AS win_returnflag,
+                   w.l_linestatus AS win_linestatus,
+                   g.part_keys, g.line_numbers, g.n_lines,
+                   strftime(w.l_shipdate, '%Y-%m-%d') AS last_ship
+            FROM (
+              SELECT l_orderkey,
+                     list_sort(list_distinct(list(l_partkey))) AS part_keys,
+                     list_sort(list_distinct(list(l_linenumber))) AS line_numbers,
+                     count(*) AS n_lines
+              FROM lineitem GROUP BY l_orderkey) g
+            JOIN ranked w ON w.l_orderkey = g.l_orderkey AND w.rn = 1
+        """,
+        "upsert_customers": """
+            WITH b1 AS (
+              SELECT o_custkey AS cust, max(o_orderpriority) AS prio, count(*) AS n
+              FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+            b2 AS (
+              SELECT o_custkey AS cust, max(o_orderpriority) AS prio, count(*) AS n
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1)
+            SELECT coalesce(b1.cust, b2.cust) AS cust,
+                   coalesce(b2.prio, b1.prio) AS prio,
+                   CAST(coalesce(b1.n, 0) + coalesce(b2.n, 0) AS BIGINT) AS seen_count,
+                   CASE WHEN b1.cust IS NOT NULL THEN '2026-01-01' ELSE '2026-02-01' END AS first_seen,
+                   CASE WHEN b2.cust IS NOT NULL THEN '2026-02-01' ELSE '2026-01-01' END AS last_seen
+            FROM b1 FULL OUTER JOIN b2 ON b1.cust = b2.cust
         """,
         "orders_pagination": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -71,6 +71,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=100_000)
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="interleaved repeats per core count; fastest run wins "
+                         "(filters out shared-host noise windows)")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--corpus", default=None)
     args = ap.parse_args()
@@ -89,21 +92,26 @@ def main() -> None:
     ).parquet(corpus)
     spark.stop()
 
-    results = []
-    for cores in [int(c) for c in args.cores.split(",")]:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores), "--corpus", corpus],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=3600,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:] + "\n")
-            raise SystemExit(f"worker cores={cores} produced no result")
-        results.append(json.loads(line[-1][len("WORKER_RESULT "):]))
+    core_list = [int(c) for c in args.cores.split(",")]
+    attempts: dict[int, list[dict]] = {c: [] for c in core_list}
+    for _ in range(args.repeats):
+        for cores in core_list:  # interleave so a slow host window hits both
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores), "--corpus", corpus],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=3600,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:] + "\n")
+                raise SystemExit(f"worker cores={cores} produced no result")
+            r = json.loads(line[-1][len("WORKER_RESULT "):])
+            attempts[cores].append(r)
+            print("attempt:", json.dumps(r), flush=True)
 
+    results = [min(attempts[c], key=lambda r: r["wall_sec"]) for c in core_list]
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
     eff = (lo["wall_sec"] / hi["wall_sec"]) / ratio

@@ -7,32 +7,31 @@ lineage. The web-scale analogue links page B to page A when B's normalized
 text is an exact substring of A's (quotes, scrapes, partial mirrors), which
 MinHash structurally misses when |A| >> |B| (Jaccard ~ |B|/|A|).
 
-Distributed plan (no O(n^2)):
+Distributed plan (no O(n^2), no stored shingle sets):
   1. candidate generation — bottom-k sketch: the k smallest shingle hashes of
-     each doc are a uniform sample of its shingle set; if S_B ⊆ S_A then all
-     of B's bottom-k hashes appear somewhere in S_A. Build postings of B-side
-     bottom-k hashes, semi-join the A-side full shingle postings down to just
-     those hash values (Catalyst pushes this into the explode's child scan),
-     and count matches per (small, big) pair;
-  2. shingle-containment screen — |S_B ∩ S_A| / |S_B| >= threshold,
-     JVM-side via array_intersect;
-  3. exact verify — Python substring check (Arrow-batched over the surviving
-     candidate pairs only) against the normalized texts. This is the
-     "suffix-array pass" semantics: exact substring, not similarity; at
-     candidate-pair cardinality the direct check is cheaper than maintaining
-     a distributed suffix array.
+     each doc (stored in the signature table, 8 longs/doc) are a uniform
+     sample of its shingle set; if S_B ⊆ S_A then all of B's bottom-k hashes
+     appear somewhere in S_A. The A-side postings are *recomputed* from
+     ``text_norm`` in an Arrow kernel (CPU scales with cores; re-reading a
+     stored posting table does not) and filtered map-side against the
+     broadcast bottom-k hash set before they ever hit a shuffle;
+  2. verify — one Arrow kernel per candidate pair over the two normalized
+     texts: shingle-containment score |S_B ∩ S_A| / |S_B| plus the exact
+     Python substring check. This is the "suffix-array pass" semantics —
+     exact substring — at candidate-pair cardinality, where a direct check
+     beats maintaining a distributed suffix array.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -40,29 +39,81 @@ from pyspark.sql.types import (
 )
 
 from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions.shingles import shingle_hashes, token_hashes
+
+_POSTINGS_SCHEMA = StructType(
+    [
+        StructField("big_id", LongType(), False),
+        StructField("big_n", LongType(), False),
+        StructField("sh", LongType(), False),
+    ]
+)
+
+
+def _shingle_postings(texts: DataFrame, cfg: DedupConfig, needed_bc) -> DataFrame:
+    """(doc_id, text_norm) -> exploded (big_id, big_n, sh) posting rows.
+
+    ``needed_bc`` is a SparkContext broadcast of a sorted uint64 array of
+    bottom-k hash values; postings are filtered inside the kernel, so
+    irrelevant shingles are never emitted, let alone shuffled.
+    """
+    k = cfg.shingle_k
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        needed = needed_bc.value
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            ids, ns, hs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text_norm"]):
+                sh = shingle_hashes(
+                    token_hashes(text.split() if isinstance(text, str) else [], memo), k
+                )
+                if needed.size == 0 or sh.size == 0:
+                    continue
+                # sorted-array membership: searchsorted beats np.isin's
+                # internal sort when `needed` is reused across rows
+                pos = np.searchsorted(needed, sh)
+                pos[pos == needed.size] = 0
+                keep = sh[needed[pos] == sh]
+                for h in keep.tolist():
+                    ids.append(int(doc_id))
+                    ns.append(int(sh.size))
+                    hs.append(int(np.int64(np.uint64(h))))
+            yield pd.DataFrame(
+                {
+                    "big_id": np.array(ids, dtype=np.int64),
+                    "big_n": np.array(ns, dtype=np.int64),
+                    "sh": np.array(hs, dtype=np.int64),
+                }
+            )
+
+    return texts.select("doc_id", "text_norm").mapInPandas(kernel, schema=_POSTINGS_SCHEMA)
 
 
 def containment_candidates(
-    signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+    signatures: DataFrame,
+    texts: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """(small_id, big_id) candidate pairs where small may be ⊂ big."""
+    """(small_id, big_id) candidate pairs where small may be ⊂ big.
+
+    ``signatures`` must carry (doc_id, bottomk, n_shingles); ``texts`` must
+    carry (doc_id, text_norm) for the posting recompute.
+    """
     k = cfg.bottomk
-    # bottom-k = first k values of the sorted unique shingle array
     bk = signatures.select(
         F.col("doc_id").alias("small_id"),
         F.col("n_shingles").alias("small_n"),
-        F.explode(F.slice(F.array_sort("shingles"), 1, k)).alias("sh"),
+        F.explode("bottomk").alias("sh"),
     )
-    postings = signatures.select(
-        F.col("doc_id").alias("big_id"),
-        F.col("n_shingles").alias("big_n"),
-        F.explode("shingles").alias("sh"),
-    )
-    # keep only postings for hash values that are someone's bottom-k;
-    # the distinct bottom-k set is ~k rows/doc of one long — broadcast it so
-    # the full postings explode is filtered map-side with no shuffle
-    needed = bk.select("sh").distinct()
-    postings = postings.join(F.broadcast(needed), on="sh", how="left_semi")
+    # ship the distinct bottom-k hash set into the posting kernel as a
+    # broadcast sorted uint64 array (8 bytes/doc-sketch-entry; ~80 MB per
+    # 10^7 docs per partition-batch of the corpus — at larger scale,
+    # partition the small side and run this pass per partition)
+    needed_vals = [r["sh"] for r in bk.select("sh").distinct().collect()]
+    needed_arr = np.array(sorted(needed_vals), dtype=np.int64).astype(np.uint64)
+    needed_bc = texts.sparkSession.sparkContext.broadcast(needed_arr)
+    postings = _shingle_postings(texts, cfg, needed_bc)
 
     matched = (
         bk.join(postings, on="sh")
@@ -77,86 +128,56 @@ def containment_candidates(
     return matched
 
 
+_VERIFY_SCHEMA = StructType(
+    [
+        StructField("id1", LongType(), False),
+        StructField("id2", LongType(), False),
+        StructField("jaccard", DoubleType(), True),
+    ]
+)
+
+
 def containment_edges(
     candidates: DataFrame,
-    signatures: DataFrame,
     texts: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """Verified containment edges (id1, id2, jaccard=containment, rule).
+    """Verified containment edges (id1, id2, score=containment, rule).
 
-    ``texts`` must carry (doc_id, text_norm). Screen with shingle containment
-    (JVM), then exact substring check in an Arrow kernel.
+    One Arrow kernel computes the shingle-containment screen AND the exact
+    substring check per candidate pair — no stored arrays, two text joins.
     """
-    sig = signatures.select("doc_id", "shingles", "n_shingles")
-    screened = (
-        candidates.join(
-            sig.select(
-                F.col("doc_id").alias("small_id"),
-                F.col("shingles").alias("sh_s"),
-                F.col("n_shingles").alias("n_s"),
-            ),
-            on="small_id",
-        )
-        .join(
-            sig.select(
-                F.col("doc_id").alias("big_id"),
-                F.col("shingles").alias("sh_b"),
-            ),
-            on="big_id",
-        )
-        .withColumn(
-            "containment",
-            F.when(
-                F.col("n_s") > 0,
-                F.size(F.array_intersect("sh_s", "sh_b")) / F.col("n_s"),
-            ).otherwise(F.lit(0.0)),
-        )
-        .filter(F.col("containment") >= cfg.containment_threshold)
-        .select("small_id", "big_id", "containment")
-    )
-
     t = texts.select("doc_id", "text_norm")
-    with_texts = screened.join(
-        t.select(F.col("doc_id").alias("small_id"), F.col("text_norm").alias("txt_s")),
-        on="small_id",
-    ).join(
-        t.select(F.col("doc_id").alias("big_id"), F.col("text_norm").alias("txt_b")),
-        on="big_id",
+    with_texts = (
+        candidates.select("small_id", "big_id")
+        .hint("broadcast")
+        .join(t.select(F.col("doc_id").alias("small_id"), F.col("text_norm").alias("_ts")), on="small_id")
+        .join(t.select(F.col("doc_id").alias("big_id"), F.col("text_norm").alias("_tb")), on="big_id")
     )
-
-    out_schema = StructType(
-        [
-            StructField("small_id", LongType(), False),
-            StructField("big_id", LongType(), False),
-            StructField("containment", DoubleType(), True),
-            StructField("is_substring", BooleanType(), True),
-        ]
-    )
+    k = cfg.shingle_k
+    thr = cfg.containment_threshold
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sub = [
-                (s in b) if isinstance(s, str) and isinstance(b, str) else False
-                for s, b in zip(pdf["txt_s"], pdf["txt_b"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "small_id": pdf["small_id"],
-                    "big_id": pdf["big_id"],
-                    "containment": pdf["containment"],
-                    "is_substring": sub,
-                }
-            )
+            memo: dict[str, int] = {}
+            out_i1, out_i2, out_c = [], [], []
+            for sid, bid, ts, tb in zip(pdf["small_id"], pdf["big_id"], pdf["_ts"], pdf["_tb"]):
+                if not isinstance(ts, str) or not isinstance(tb, str):
+                    continue
+                ss = shingle_hashes(token_hashes(ts.split(), memo), k)
+                if ss.size == 0:
+                    continue
+                sb = shingle_hashes(token_hashes(tb.split(), memo), k)
+                inter = np.intersect1d(ss, sb, assume_unique=True).size
+                containment = inter / ss.size
+                if containment >= thr and ts in tb:
+                    out_i1.append(min(int(sid), int(bid)))
+                    out_i2.append(max(int(sid), int(bid)))
+                    out_c.append(float(containment))
+            yield pd.DataFrame({"id1": out_i1, "id2": out_i2, "jaccard": out_c})
 
-    verified = with_texts.mapInPandas(kernel, schema=out_schema)
     return (
-        verified.filter(F.col("is_substring"))
-        .select(
-            F.least("small_id", "big_id").alias("id1"),
-            F.greatest("small_id", "big_id").alias("id2"),
-            F.col("containment").alias("jaccard"),
-            F.lit("contain").alias("rule"),
-        )
+        with_texts.mapInPandas(kernel, schema=_VERIFY_SCHEMA)
+        .withColumn("rule", F.lit("contain"))
         .distinct()
     )

@@ -42,14 +42,19 @@ SIGNATURE_FIELDS = [
     StructField("digest", LongType(), True),
     StructField("minhash", ArrayType(LongType(), False), True),
     StructField("simhash64", LongType(), True),
-    StructField("shingles", ArrayType(LongType(), False), True),
+    StructField("bottomk", ArrayType(LongType(), False), True),
     StructField("n_shingles", IntegerType(), True),
     StructField("n_tokens", IntegerType(), True),
 ]
 
+SHINGLES_FIELD = StructField("shingles", ArrayType(LongType(), False), True)
 
-def signature_schema(extra: list[StructField] | None = None) -> StructType:
-    return StructType(SIGNATURE_FIELDS + (extra or []))
+
+def signature_schema(include_shingles: bool = True) -> StructType:
+    fields = list(SIGNATURE_FIELDS)
+    if include_shingles:
+        fields.append(SHINGLES_FIELD)
+    return StructType(fields)
 
 
 def compute_signatures(
@@ -58,15 +63,24 @@ def compute_signatures(
     text_col: str = "text_norm",
     id_col: str = "doc_id",
     title_tokens: int = 12,
+    include_shingles: bool = True,
 ) -> DataFrame:
     """(doc_id, text_norm) -> signatures table.
 
     ``digest`` is computed with the JVM xxhash64 before entering the Arrow
     kernel so the exact-dup fast path never leaves codegen.
+
+    ``include_shingles=False`` drops the full shingle-set column (the fattest
+    field by far — ~8 bytes per token). The checkpointed pipeline uses this:
+    storing shingle sets trades cheap, core-scaling CPU (recomputing them
+    from text) for expensive, non-scaling I/O (reading them back from disk
+    at every verify join). ``bottomk`` (the k smallest hashes, the
+    containment sketch) is always kept — it is tiny.
     """
     k = cfg.shingle_k
     a_param, b_param = perm_params(cfg)
-    out_schema = signature_schema()
+    out_schema = signature_schema(include_shingles)
+    bottomk_n = cfg.bottomk
 
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -80,7 +94,8 @@ def compute_signatures(
             n = len(pdf)
             minhashes = [None] * n
             simhashes = np.zeros(n, dtype=np.int64)
-            shingle_lists = [None] * n
+            bottomks = [None] * n
+            shingle_lists = [None] * n if include_shingles else None
             n_sh = np.zeros(n, dtype=np.int32)
             n_tok = np.zeros(n, dtype=np.int32)
             for i, text in enumerate(pdf["_text"].to_numpy()):
@@ -92,20 +107,23 @@ def compute_signatures(
                 head = th[:title_tokens]
                 fp = simhash64(head)
                 simhashes[i] = np.int64(np.uint64(fp).astype(np.int64))
-                shingle_lists[i] = sh.astype(np.int64)
+                bottomks[i] = sh[:bottomk_n].astype(np.int64)  # sh is sorted
+                if include_shingles:
+                    shingle_lists[i] = sh.astype(np.int64)
                 n_sh[i] = sh.size
                 n_tok[i] = len(toks)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "digest": pdf["digest"].to_numpy(),
-                    "minhash": minhashes,
-                    "simhash64": simhashes,
-                    "shingles": shingle_lists,
-                    "n_shingles": n_sh,
-                    "n_tokens": n_tok,
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "digest": pdf["digest"].to_numpy(),
+                "minhash": minhashes,
+                "simhash64": simhashes,
+                "bottomk": bottomks,
+                "n_shingles": n_sh,
+                "n_tokens": n_tok,
+            }
+            if include_shingles:
+                out["shingles"] = shingle_lists
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(kernel, schema=out_schema)
 

@@ -80,6 +80,69 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_text(
+    pairs: DataFrame,
+    texts: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    rule: str = "minhash",
+) -> DataFrame:
+    """Exact-Jaccard verify that recomputes shingle sets from ``text_norm``.
+
+    Scale path used by the checkpointed pipeline: shingle sets are ~8 bytes
+    per token; storing them and joining them back means every verify pass
+    pays a disk scan that does NOT shrink with added executors, while
+    recomputing them is a vectorized Arrow kernel that scales linearly with
+    cores. Same hash kernels as the signature stage, so results are
+    bit-identical to the array-based :func:`jaccard_verify`.
+
+    ``texts`` carries (doc_id, text_norm). The narrow pair list is broadcast
+    through both text joins.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..functions.shingles import shingle_hashes, token_hashes
+
+    t = texts.select("doc_id", "text_norm")
+    joined = (
+        pairs.select("id1", "id2")
+        .hint("broadcast")
+        .join(t.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("_t1")), on="id1")
+        .join(t.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("_t2")), on="id2")
+    )
+    k = cfg.shingle_k
+    out_schema = StructType(
+        [
+            StructField("id1", LongType(), False),
+            StructField("id2", LongType(), False),
+            StructField("jaccard", DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            jac = np.zeros(len(pdf), dtype=np.float64)
+            for i, (t1, t2) in enumerate(zip(pdf["_t1"], pdf["_t2"])):
+                s1 = shingle_hashes(token_hashes(t1.split() if isinstance(t1, str) else [], memo), k)
+                s2 = shingle_hashes(token_hashes(t2.split() if isinstance(t2, str) else [], memo), k)
+                if s1.size == 0 and s2.size == 0:
+                    jac[i] = 0.0
+                    continue
+                inter = np.intersect1d(s1, s2, assume_unique=True).size
+                jac[i] = inter / (s1.size + s2.size - inter)
+            yield pd.DataFrame({"id1": pdf["id1"], "id2": pdf["id2"], "jaccard": jac})
+
+    return (
+        joined.mapInPandas(kernel, schema=out_schema)
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select("id1", "id2", "jaccard", F.lit(rule).alias("rule"))
+    )
+
+
 def combine_edges(*edge_frames: DataFrame) -> DataFrame:
     """Union edge sets, keeping one row per pair (highest-precedence rule).
 

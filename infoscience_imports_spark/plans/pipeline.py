@@ -98,7 +98,10 @@ class DedupPipeline:
         """
         from pyspark.sql import Window
 
-        sg = sigs.compute_signatures(extract_df, self.cfg)
+        # shingle sets are NOT stored (include_shingles=False): verify and
+        # containment recompute them from text_norm in Arrow kernels — CPU
+        # that scales with executors, instead of disk scans that don't
+        sg = sigs.compute_signatures(extract_df, self.cfg, include_shingles=False)
         w = Window.partitionBy("digest").orderBy("doc_id")
         return sg.withColumn("is_rep", F.row_number().over(w) == 1)
 
@@ -112,15 +115,19 @@ class DedupPipeline:
         return lsh.band_buckets(reps, self.cfg)
 
     def _edges(self, signatures: DataFrame, buckets: DataFrame, extract_df: DataFrame) -> DataFrame:
-        # the wide signature table feeds four candidate paths — cache the
-        # representative slice once instead of re-scanning parquet per path
-        reps = self._representatives(signatures).cache()
+        reps = self._representatives(signatures)
+        # candidate-generation reads narrow columns only (column pruning on
+        # the signature parquet); every verify recomputes shingles from
+        # text_norm (scale rationale in operators/signatures.py)
+        rep_texts = extract_df.join(
+            reps.select("doc_id"), on="doc_id", how="left_semi"
+        ).select("doc_id", "text_norm")
         exact = verify.exact_edges(signatures)
         minhash_pairs = lsh.candidate_pairs(buckets, self.cfg)
-        minhash = verify.jaccard_verify(minhash_pairs, reps, self.cfg, rule="minhash")
+        minhash = verify.jaccard_verify_text(minhash_pairs, rep_texts, self.cfg, rule="minhash")
         simhash = lsh.simhash_edges(reps, self.cfg)
-        contain_cand = cont.containment_candidates(reps, self.cfg)
-        contain = cont.containment_edges(contain_cand, reps, extract_df, self.cfg)
+        contain_cand = cont.containment_candidates(reps, rep_texts, self.cfg)
+        contain = cont.containment_edges(contain_cand, rep_texts, self.cfg)
         return verify.combine_edges(exact, contain, minhash, simhash)
 
     def _components(self, edges: DataFrame, extract_df: DataFrame) -> DataFrame:

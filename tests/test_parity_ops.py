@@ -1,0 +1,122 @@
+"""Reference-parity operator tests: family aggregation, upsert, scalar kernels."""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from infoscience_imports_spark.functions.scalars import (
+    normalize_doi,
+    reconstruct_abstract,
+    safe_bool,
+    safe_int,
+    safe_str,
+)
+from infoscience_imports_spark.operators.family import (
+    aggregate_families,
+    link_authors_addresses,
+)
+from infoscience_imports_spark.operators.upsert import stable_entity_key, upsert
+
+
+def test_family_aggregation(spark):
+    df = spark.createDataFrame(
+        [
+            Row(family_id="F1", internal_id="EP1", first_creation="2020-01-01",
+                title="old title", publications=["EP1A", "WO9"]),
+            Row(family_id="F1", internal_id="EP2", first_creation="2023-05-05",
+                title="new title", publications=["EP2B", "WO9"]),
+            Row(family_id="F2", internal_id="EP3", first_creation="2021-01-01",
+                title="solo", publications=["EP3C"]),
+        ]
+    )
+    out = {r["family_id"]: r for r in aggregate_families(
+        df, scalar_cols=("title",), multi_cols=("publications",)
+    ).collect()}
+    assert out["F1"]["title"] == "new title"          # latest member wins
+    assert out["F1"]["publications"] == ["EP1A", "EP2B", "WO9"]  # union-dedup-sort
+    assert out["F1"]["members_internal_ids"] == ["EP1", "EP2"]
+    assert out["F1"]["family_size"] == 2
+    assert out["F2"]["title"] == "solo"
+
+
+def test_author_address_join(spark):
+    authors = spark.createDataFrame(
+        [Row(doc_id=1, seq_no=1, author="A", addr_nos=[1, 2]),
+         Row(doc_id=1, seq_no=2, author="B", addr_nos=[2])]
+    )
+    addresses = spark.createDataFrame(
+        [Row(doc_id=1, addr_no=1, organization="EPFL"),
+         Row(doc_id=1, addr_no=2, organization="ETHZ")]
+    )
+    out = {r["author"]: r for r in link_authors_addresses(authors, addresses).collect()}
+    assert out["A"]["organizations"] == "EPFL|ETHZ"
+    assert out["B"]["organizations"] == "ETHZ"
+
+
+def test_upsert_counter_and_coalesce(spark):
+    now = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    batch1 = spark.createDataFrame(
+        [Row(pub_id="10.1/a", title="T", oa_status=None),
+         Row(pub_id="x:1", title="U", oa_status="gold")]
+    )
+    merged1 = upsert(None, batch1, "pub_id", ("title", "oa_status"), now_col=now)
+    batch2 = spark.createDataFrame(
+        [Row(pub_id="10.1/a", title=None, oa_status="green"),   # fills gap, keeps title
+         Row(pub_id="y:2", title="V", oa_status=None)]
+    )
+    now2 = F.lit("2026-02-01 00:00:00").cast("timestamp")
+    merged2 = {r["pub_id"]: r for r in upsert(
+        merged1, batch2, "pub_id", ("title", "oa_status"), now_col=now2
+    ).collect()}
+    a = merged2["10.1/a"]
+    assert a["seen_count"] == 2
+    assert a["title"] == "T"              # old kept: new was null
+    assert a["oa_status"] == "green"      # new non-null wins
+    assert str(a["first_seen"]).startswith("2026-01-01")
+    assert str(a["last_seen"]).startswith("2026-02-01")
+    assert merged2["y:2"]["seen_count"] == 1
+    assert len(merged2) == 3
+
+
+def test_stable_entity_key(spark):
+    df = spark.createDataFrame(
+        [Row(doi=" 10.5/X ", source="wos", internal_id="W1"),
+         Row(doi="None", source="scopus", internal_id="S2"),
+         Row(doi=None, source="zenodo", internal_id="Z3")]
+    )
+    got = [r[0] for r in df.select(stable_entity_key()).collect()]
+    assert got == ["10.5/x", "scopus:S2", "zenodo:Z3"]
+
+
+def test_reconstruct_abstract(spark):
+    df = spark.createDataFrame(
+        [Row(inv={"world": [1], "hello": [0], "again": [2, 4], "and": [3]})]
+    )
+    out = df.select(reconstruct_abstract(F.col("inv")).alias("a")).collect()[0]["a"]
+    assert out == "hello world again and again"
+
+
+def test_safe_coercions(spark):
+    df = spark.createDataFrame(
+        [Row(x="2021.0"), Row(x=" None "), Row(x="nan"), Row(x="abc"), Row(x="7")]
+    )
+    ints = [r[0] for r in df.select(safe_int(F.col("x"))).collect()]
+    assert ints == [2021, None, None, None, 7]
+    strs = [r[0] for r in df.select(safe_str(F.col("x"))).collect()]
+    assert strs == ["2021.0", None, None, "abc", "7"]
+    bools = [
+        r[0]
+        for r in spark.createDataFrame([Row(b="True"), Row(b="0"), Row(b="?")])
+        .select(safe_bool(F.col("b")))
+        .collect()
+    ]
+    assert bools == [True, False, None]
+
+
+def test_normalize_doi(spark):
+    df = spark.createDataFrame(
+        [Row(d="https://doi.org/10.5/ABC"), Row(d="HTTP://DX.DOI.ORG/10.1/x")]
+    )
+    got = [r[0] for r in df.select(normalize_doi(F.col("d"))).collect()]
+    assert got == ["10.5/abc", "10.1/x"]
