@@ -73,10 +73,17 @@ def _doc_shingles(spark, sf_dir):
 
 
 def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
-    """Inverted-index (not cross-join) exact 5-gram Jaccard pairs."""
-    sh = _doc_shingles(spark, sf_dir)
+    """Inverted-index (not cross-join) exact 5-gram Jaccard pairs.
+
+    The shingle frame is cached (it feeds three plan branches and the
+    shingle construction is an interpreted higher-order expression), and the
+    posting join keys are xxhash64 of the shingle strings — same counts,
+    4x fewer shuffle bytes."""
+    sh = _doc_shingles(spark, sf_dir).cache()
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    postings = sh.select("doc_id", F.explode("sh").alias("s"))
+    postings = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (

@@ -47,6 +47,33 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pandas_udf():
+    """Arrow-vectorized cosine, bit-identical to the JVM fold / SQL engines.
+
+    Spark's higher-order ``aggregate`` is CodegenFallback (interpreted per
+    evaluation, re-evaluated by every operator that references it); this UDF
+    evaluates once per pair in NumPy. Summation uses ``cumsum[:, -1]`` —
+    strictly sequential left-to-right, the same order as the JVM fold and
+    reference engines' list functions, so results hash-match the oracle
+    (``np.sum``'s pairwise summation would not).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no type annotations — `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature inference rejects
+    @pandas_udf("double")
+    def cos(a, b):
+        va = np.stack(a.to_numpy()).astype(np.float64)
+        vb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = (va * vb).cumsum(axis=1)[:, -1]
+        na = np.sqrt((va * va).cumsum(axis=1)[:, -1])
+        nb = np.sqrt((vb * vb).cumsum(axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    return cos
+
+
 def unit_vec(a):
     """Vector divided by its L2 norm (one pass per row, done once — pair
     scoring then needs only a dot product instead of dot + two norms)."""
@@ -69,13 +96,14 @@ def cosine_topk(
     vectors) to stay bit-identical with reference engines' list_cosine — the
     oracle-parity contract. The hot path for scale is ann_signlsh_topk.
     """
+    cos = _cosine_pandas_udf()
     q = queries.select(F.col(id_q).alias("query_id"), F.col(vec_q).alias("_qv"))
     c = corpus.select(F.col(id_c).alias("neighbor_id"), F.col(vec_c).alias("_cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_col(F.col("_qv"), F.col("_cv")))
+        .withColumn("sim", cos(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -92,16 +120,13 @@ def similar_pairs(corpus: DataFrame, threshold: float, id_c: str = "vec_id", vec
     bit-identical to the SQL oracle; the norms are joined in as precomputed
     scalars (one array pass per row instead of two per pair).
     """
-    base = corpus.select(
-        F.col(id_c).alias("id"),
-        F.transform(F.col(vec_c), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", _norm(F.col("v")))
-    a = base.select(F.col("id").alias("id1"), F.col("v").alias("_v1"), F.col("nrm").alias("_n1"))
-    b = base.select(F.col("id").alias("id2"), F.col("v").alias("_v2"), F.col("nrm").alias("_n2"))
+    cos = _cosine_pandas_udf()
+    a = corpus.select(F.col(id_c).alias("id1"), F.col(vec_c).alias("_v1"))
+    b = corpus.select(F.col(id_c).alias("id2"), F.col(vec_c).alias("_v2"))
     return (
         F.broadcast(a)
         .join(b, F.col("id1") < F.col("id2"))
-        .withColumn("sim", _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")))
+        .withColumn("sim", cos(F.col("_v1"), F.col("_v2")))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )
