@@ -73,13 +73,9 @@ class DedupPipeline:
 
     # -- stage bodies ----------------------------------------------------------
     def _extract(self, pages: DataFrame) -> DataFrame:
-        # The html->text kernel is CPU-dense (~MB/s-per-core regex); with a
-        # small input, 128 MB file splits under-parallelize the scan. Widen to
-        # the configured parallelism only when the scan has fewer splits —
-        # at real scale (splits >> cores) this branch never fires, so no
-        # gratuitous shuffle of the full corpus.
-        if pages.rdd.getNumPartitions() < self.cfg.shuffle_partitions:
-            pages = pages.repartition(self.cfg.shuffle_partitions)
+        # Scan parallelism comes from file splits (32 MB, session.py) — a
+        # repartition here would push the whole html corpus through a
+        # disk-bound shuffle and cap scaling at disk bandwidth.
         extracted = extract_text_col(F.col("html"))
         return pages.select(
             F.xxhash64("url").alias("doc_id"),

@@ -46,7 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 32 MB splits: the extract/signature kernels are CPU-dense (~2 MB/s
+        # per core through the regex+MinHash path), so scan splits — not a
+        # repartition shuffle — must provide the parallelism. At petabyte
+        # scale this yields more tasks than the 128 MB default; that is the
+        # correct trade for kernels this hot (AQE coalesces downstream).
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_heap))
         .config("spark.ui.enabled", "false")
