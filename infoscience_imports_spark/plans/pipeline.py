@@ -76,14 +76,58 @@ class DedupPipeline:
         # Scan parallelism comes from file splits (32 MB, session.py) — a
         # repartition here would push the whole html corpus through a
         # disk-bound shuffle and cap scaling at disk bandwidth.
-        extracted = extract_text_col(F.col("html"))
-        return pages.select(
-            F.xxhash64("url").alias("doc_id"),
-            "url",
-            "warc_ts",
-            "lang",
-            normalize_text_col(extracted).alias("text_norm"),
+        #
+        # The kernel runs in Arrow workers calling the *oracle functions*
+        # (functions/text.py) directly — byte-identity by construction, and
+        # the work lands in separate Python processes. The equivalent pure
+        # Column-expression chain (extract_text_col/normalize_text_col, kept
+        # and tested for JVM-only deployments) allocates a new string per
+        # regex step; measured on this host, 8 concurrent JVM task threads
+        # collapse to 2-thread throughput under that allocation rate while
+        # the process-isolated kernel scales with cores.
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
         )
+
+        from ..functions.text import extract_text_py, normalize_text_py
+
+        src = pages.select(
+            F.xxhash64("url").alias("doc_id"), "url", "warc_ts", "lang", "html"
+        )
+        out_schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("url", StringType(), True),
+                StructField("warc_ts", TimestampType(), True),
+                StructField("lang", StringType(), True),
+                StructField("text_norm", StringType(), True),
+            ]
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts = [
+                    normalize_text_py(extract_text_py(bytes(h))) if h is not None else ""
+                    for h in pdf["html"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "url": pdf["url"],
+                        "warc_ts": pdf["warc_ts"],
+                        "lang": pdf["lang"],
+                        "text_norm": texts,
+                    }
+                )
+
+        return src.mapInPandas(kernel, schema=out_schema)
 
     def _signatures(self, extract_df: DataFrame) -> DataFrame:
         """Signature kernel + digest-representative flag.
