@@ -507,12 +507,16 @@ def q_family_agg_orders(spark, sf_dir):
         multi_cols=("pk",),
         id_col="l_linenumber",
     )
+    # array columns are emitted as deterministic CSV strings (sorted-distinct
+    # upstream) so the harness canonicalizer can lexsort rows — list-typed
+    # cells are unhashable in its pandas sort (round-1 CORRECTNESS err)
+    as_csv = lambda c: F.concat_ws(",", F.transform(F.col(c), lambda x: x.cast("string")))  # noqa: E731
     return fam.select(
         "l_orderkey",
         F.col("l_returnflag").alias("win_returnflag"),
         F.col("l_linestatus").alias("win_linestatus"),
-        F.col("pk").alias("part_keys"),
-        F.col("members_internal_ids").alias("line_numbers"),
+        as_csv("pk").alias("part_keys"),
+        as_csv("members_internal_ids").alias("line_numbers"),
         F.col("family_size").alias("n_lines"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("last_ship"),
     )
@@ -844,8 +848,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(w.l_shipdate, '%Y-%m-%d') AS last_ship
             FROM (
               SELECT l_orderkey,
-                     list_sort(list_distinct(list(l_partkey))) AS part_keys,
-                     list_sort(list_distinct(list(l_linenumber))) AS line_numbers,
+                     array_to_string(list_sort(list_distinct(list(l_partkey))), ',') AS part_keys,
+                     array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') AS line_numbers,
                      count(*) AS n_lines
               FROM lineitem GROUP BY l_orderkey) g
             JOIN ranked w ON w.l_orderkey = g.l_orderkey AND w.rn = 1

@@ -26,6 +26,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def worker(cores: int, corpus: str) -> None:
     from infoscience_imports_spark.config import DedupConfig
     from infoscience_imports_spark.plans.pipeline import DedupPipeline
@@ -33,10 +41,19 @@ def worker(cores: int, corpus: str) -> None:
     from infoscience_imports_spark.sources.catalog import CheckpointStore
     from infoscience_imports_spark.sources.synthetic import generate_web_pages, pipeline_input
 
+    # The extract/signature kernels are CPU-dense (~2 MB/s/core), so scan
+    # splits must be sized to a few seconds of kernel work or the run is
+    # task-starved/raggedly balanced at the higher core count (round-1: 32 MB
+    # splits gave ~12 uneven tasks at 8 cores). Target ~12 splits per core.
+    split = min(32 << 20, max(1 << 20, _dir_bytes(corpus) // (12 * cores)))
     spark = get_spark(
         app_name=f"scale-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(2 * cores, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(min(split // 4, 1 << 20)),
+        },
     )
     cfg = DedupConfig(shuffle_partitions=max(2 * cores, 8))
     # warm the JIT/codegen paths with a small run (untimed)
@@ -87,9 +104,12 @@ def main() -> None:
 
     corpus = tempfile.mkdtemp(prefix="scale-corpus-")
     spark = get_spark(app_name="scale-gen", master="local[32]")
-    pipeline_input(generate_web_pages(spark, args.pages, seed=42)).write.mode(
-        "overwrite"
-    ).parquet(corpus)
+    # interleave planted classes across partitions and write ~2 MB files so
+    # byte-based scan splits carry even kernel CPU (see generate_web_pages)
+    gen_parts = max(32, args.pages // 512)
+    pipeline_input(
+        generate_web_pages(spark, args.pages, seed=42, partitions=gen_parts, interleave=True)
+    ).write.mode("overwrite").parquet(corpus)
     spark.stop()
 
     core_list = [int(c) for c in args.cores.split(",")]

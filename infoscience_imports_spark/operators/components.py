@@ -101,7 +101,11 @@ def connected_components(
     for _ in range(cfg.max_cc_iterations):
         ls = _large_star(cur, n_salt)
         ss = _small_star(ls.select(F.col("id1").alias("u"), F.col("id2").alias("v")), n_salt)
-        cur = _symmetrize(ss).localCheckpoint(eager=True)
+        # lazy checkpoint + fingerprint share ONE action per iteration: the
+        # fingerprint aggregate is the first job over the marked RDD, so it
+        # both materializes/truncates the lineage and yields the convergence
+        # check (round-1 verdict #7 — no separate fingerprint job)
+        cur = _symmetrize(ss).localCheckpoint(eager=False)
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             break

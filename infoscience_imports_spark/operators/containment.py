@@ -7,14 +7,19 @@ lineage. The web-scale analogue links page B to page A when B's normalized
 text is an exact substring of A's (quotes, scrapes, partial mirrors), which
 MinHash structurally misses when |A| >> |B| (Jaccard ~ |B|/|A|).
 
-Distributed plan (no O(n^2), no stored shingle sets):
+Distributed plan (no O(n^2), no stored shingle sets, no driver-side data):
   1. candidate generation — bottom-k sketch: the k smallest shingle hashes of
      each doc (stored in the signature table, 8 longs/doc) are a uniform
      sample of its shingle set; if S_B ⊆ S_A then all of B's bottom-k hashes
      appear somewhere in S_A. The A-side postings are *recomputed* from
      ``text_norm`` in an Arrow kernel (CPU scales with cores; re-reading a
-     stored posting table does not) and filtered map-side against the
-     broadcast bottom-k hash set before they ever hit a shuffle;
+     stored posting table does not) and prefiltered map-side against a
+     **Bloom bitmap** of the bottom-k hash set before they ever hit a
+     shuffle. The bitmap is built distributed (per-partition bitmaps OR-ed
+     with a treeReduce) so the driver only ever holds one fixed-size buffer
+     — never the hash set itself (round-1 verdict #2: a distinct().collect()
+     here is tens of GB at 10^9+ docs). Bloom false positives are removed by
+     the exact hash equi-join that follows;
   2. verify — one Arrow kernel per candidate pair over the two normalized
      texts: shingle-containment score |S_B ∩ S_A| / |S_B| plus the exact
      Python substring check. This is the "suffix-array pass" semantics —
@@ -32,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -40,6 +46,7 @@ from pyspark.sql.types import (
 
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..functions.shingles import shingle_hashes, token_hashes
+from .verify import gate_broadcast
 
 _POSTINGS_SCHEMA = StructType(
     [
@@ -49,18 +56,69 @@ _POSTINGS_SCHEMA = StructType(
     ]
 )
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant (public)
 
-def _shingle_postings(texts: DataFrame, cfg: DedupConfig, needed_bc) -> DataFrame:
+
+def _bloom_positions(u: np.ndarray, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two bit positions per uint64 value; shared by builder and prober."""
+    mask = np.uint64(m_bits - 1)
+    p1 = u & mask
+    p2 = ((u >> np.uint64(29)) ^ (u * _MIX)) & mask
+    return p1, p2
+
+
+def _bloom_test(bitmap: np.ndarray, u: np.ndarray, m_bits: int) -> np.ndarray:
+    p1, p2 = _bloom_positions(u.astype(np.uint64), m_bits)
+    b1 = (bitmap[(p1 >> np.uint64(3)).astype(np.int64)] >> (p1 & np.uint64(7)).astype(np.uint8)) & 1
+    b2 = (bitmap[(p2 >> np.uint64(3)).astype(np.int64)] >> (p2 & np.uint64(7)).astype(np.uint8)) & 1
+    return (b1 & b2).astype(bool)
+
+
+def build_bloom(hashes: DataFrame, col: str, n_items: int, bits_per_item: int = 16) -> tuple[bytes, int]:
+    """Distributed Bloom bitmap over a long column.
+
+    Each partition folds its values into a local bitmap inside an Arrow
+    kernel; the per-partition bitmaps (fixed size, one row each) are OR-ed
+    with an executor-side ``treeReduce``. Driver memory is bounded by the
+    bitmap size (<= 16 MB) regardless of corpus cardinality.
+    """
+    m_bits = 1 << max(13, int(max(1, n_items * bits_per_item) - 1).bit_length())
+    m_bits = min(m_bits, 1 << 27)  # cap at 16 MB
+    n_bytes = m_bits // 8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            u = pdf[col].to_numpy().astype(np.int64).view(np.uint64)
+            for p in _bloom_positions(u, m_bits):
+                vals = (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
+                np.bitwise_or.at(bitmap, (p >> np.uint64(3)).astype(np.int64), vals)
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = hashes.select(F.col(col).alias(col)).mapInPandas(
+        kernel, schema=StructType([StructField("bitmap", BinaryType(), False)])
+    )
+    merged = parts.rdd.map(lambda r: r[0]).treeReduce(
+        lambda a, b: np.bitwise_or(
+            np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+    )
+    return bytes(merged), m_bits
+
+
+def _shingle_postings(texts: DataFrame, cfg: DedupConfig, bloom_bc, m_bits: int) -> DataFrame:
     """(doc_id, text_norm) -> exploded (big_id, big_n, sh) posting rows.
 
-    ``needed_bc`` is a SparkContext broadcast of a sorted uint64 array of
-    bottom-k hash values; postings are filtered inside the kernel, so
-    irrelevant shingles are never emitted, let alone shuffled.
+    ``bloom_bc`` is a SparkContext broadcast of the Bloom bitmap bytes over
+    the bottom-k hash set; postings are prefiltered inside the kernel, so
+    (almost) only relevant shingles are emitted, let alone shuffled. Bloom
+    false positives are dropped by the exact join in
+    :func:`containment_candidates`.
     """
     k = cfg.shingle_k
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        needed = needed_bc.value
+        bitmap = np.frombuffer(bloom_bc.value, dtype=np.uint8)
         for pdf in batches:
             memo: dict[str, int] = {}
             ids, ns, hs = [], [], []
@@ -68,13 +126,9 @@ def _shingle_postings(texts: DataFrame, cfg: DedupConfig, needed_bc) -> DataFram
                 sh = shingle_hashes(
                     token_hashes(text.split() if isinstance(text, str) else [], memo), k
                 )
-                if needed.size == 0 or sh.size == 0:
+                if sh.size == 0:
                     continue
-                # sorted-array membership: searchsorted beats np.isin's
-                # internal sort when `needed` is reused across rows
-                pos = np.searchsorted(needed, sh)
-                pos[pos == needed.size] = 0
-                keep = sh[needed[pos] == sh]
+                keep = sh[_bloom_test(bitmap, sh, m_bits)]
                 for h in keep.tolist():
                     ids.append(int(doc_id))
                     ns.append(int(sh.size))
@@ -98,22 +152,24 @@ def containment_candidates(
     """(small_id, big_id) candidate pairs where small may be ⊂ big.
 
     ``signatures`` must carry (doc_id, bottomk, n_shingles); ``texts`` must
-    carry (doc_id, text_norm) for the posting recompute.
+    carry (doc_id, text_norm) for the posting recompute. The bottom-k
+    postings stay distributed end-to-end: Bloom prefilter map-side, exact
+    equi-join on the hash for membership (reference semantics:
+    ``harvester.py:683-689`` intersects version-id lists; here the "list" is
+    the bottom-k sketch and the intersection is the join).
     """
     k = cfg.bottomk
     bk = signatures.select(
         F.col("doc_id").alias("small_id"),
         F.col("n_shingles").alias("small_n"),
         F.explode("bottomk").alias("sh"),
-    )
-    # ship the distinct bottom-k hash set into the posting kernel as a
-    # broadcast sorted uint64 array (8 bytes/doc-sketch-entry; ~80 MB per
-    # 10^7 docs per partition-batch of the corpus — at larger scale,
-    # partition the small side and run this pass per partition)
-    needed_vals = [r["sh"] for r in bk.select("sh").distinct().collect()]
-    needed_arr = np.array(sorted(needed_vals), dtype=np.int64).astype(np.uint64)
-    needed_bc = texts.sparkSession.sparkContext.broadcast(needed_arr)
-    postings = _shingle_postings(texts, cfg, needed_bc)
+    ).persist()
+    n_bk = bk.count()
+    if n_bk == 0:
+        return bk.select(F.col("small_id"), F.col("small_id").alias("big_id")).limit(0)
+    bitmap, m_bits = build_bloom(bk, "sh", n_bk, cfg.bloom_bits_per_item)
+    bloom_bc = texts.sparkSession.sparkContext.broadcast(bitmap)
+    postings = _shingle_postings(texts, cfg, bloom_bc, m_bits)
 
     matched = (
         bk.join(postings, on="sh")
@@ -149,8 +205,7 @@ def containment_edges(
     """
     t = texts.select("doc_id", "text_norm")
     with_texts = (
-        candidates.select("small_id", "big_id")
-        .hint("broadcast")
+        gate_broadcast(candidates.select("small_id", "big_id"), cfg.broadcast_pair_limit)
         .join(t.select(F.col("doc_id").alias("small_id"), F.col("text_norm").alias("_ts")), on="small_id")
         .join(t.select(F.col("doc_id").alias("big_id"), F.col("text_norm").alias("_tb")), on="big_id")
     )

@@ -16,10 +16,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig, DEFAULT_CONFIG
 
 EDGE_COLUMNS = ["id1", "id2", "jaccard", "rule"]
+
+
+def gate_broadcast(pairs: DataFrame, limit_rows: int) -> DataFrame:
+    """Broadcast a candidate-pair frame iff its *measured* size allows it.
+
+    The pair list is persisted (narrow — two longs a row) and counted once;
+    under ``limit_rows`` it gets the broadcast hint (the wide shingle/text
+    side then streams through the join without a shuffle), above it the hint
+    is omitted and Spark plans a shuffle join. An unconditional hint OOMs
+    executors when web-scale candidate generation emits billions of pairs;
+    an unconditional shuffle wastes the common small case. The count is an
+    aggregate action — no pair data ever lands on the driver.
+
+    The persist also de-duplicates work: callers reference the pair frame in
+    two join branches, which would otherwise re-run candidate generation.
+    """
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n = pairs.count()
+    return pairs.hint("broadcast") if n <= limit_rows else pairs
 
 
 def exact_edges(signatures: DataFrame) -> DataFrame:
@@ -47,12 +67,11 @@ def jaccard_verify(
 ) -> DataFrame:
     """(id1, id2) candidates -> verified edges with exact shingle Jaccard."""
     sig = signatures.select("doc_id", "shingles", "n_shingles")
-    # the pair list is narrow (two longs) — broadcast it so the wide shingle
-    # arrays stream through the first join without a shuffle; the second join
-    # is left to AQE (its left side carries sh1 arrays and may exceed the
-    # broadcast budget at cluster scale)
+    # size-gated broadcast of the narrow pair list (gate_broadcast): small
+    # lists stream the wide shingle arrays through both joins shuffle-free,
+    # large ones fall back to shuffle joins + AQE
     joined = (
-        pairs.hint("broadcast")
+        gate_broadcast(pairs, cfg.broadcast_pair_limit)
         .join(
             sig.select(
                 F.col("doc_id").alias("id1"),
@@ -95,8 +114,8 @@ def jaccard_verify_text(
     cores. Same hash kernels as the signature stage, so results are
     bit-identical to the array-based :func:`jaccard_verify`.
 
-    ``texts`` carries (doc_id, text_norm). The narrow pair list is broadcast
-    through both text joins.
+    ``texts`` carries (doc_id, text_norm). The narrow pair list goes through
+    the size-gated broadcast (``gate_broadcast``) into both text joins.
     """
     from collections.abc import Iterator
 
@@ -108,8 +127,7 @@ def jaccard_verify_text(
 
     t = texts.select("doc_id", "text_norm")
     joined = (
-        pairs.select("id1", "id2")
-        .hint("broadcast")
+        gate_broadcast(pairs.select("id1", "id2"), cfg.broadcast_pair_limit)
         .join(t.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("_t1")), on="id1")
         .join(t.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("_t2")), on="id2")
     )

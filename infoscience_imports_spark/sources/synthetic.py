@@ -220,14 +220,39 @@ def gen_row(i: int, n: int, seed: int, vocab: list[str]) -> dict:
     }
 
 
-def generate_web_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic corpus of n pages (truth columns included)."""
+_INTERLEAVE_PRIME = 1_000_003  # > any corpus size we generate; gcd(p, n) == 1
+
+
+def generate_web_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    interleave: bool = False,
+) -> DataFrame:
+    """Distributed deterministic corpus of n pages (truth columns included).
+
+    ``interleave=True`` permutes the generation order (i -> i*p mod n, p prime
+    > n, a bijection) so every output partition carries the same class mix.
+    Without it, contiguous index ranges colocate planted classes per file:
+    the HOT class dictionary-compresses to ~nothing while costing full kernel
+    CPU per row, so byte-sized scan splits get wildly uneven CPU — the
+    round-1 extract-stage scaling ceiling. The doc set is identical either
+    way (ids derive from url).
+    """
     parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+    if interleave and n >= _INTERLEAVE_PRIME:
+        raise ValueError(f"interleave supports n < {_INTERLEAVE_PRIME}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab = _vocab(seed)
         for pdf in batches:
-            rows = [gen_row(int(i), n, seed, vocab) for i in pdf["id"]]
+            ids = (
+                [(int(i) * _INTERLEAVE_PRIME) % n for i in pdf["id"]]
+                if interleave
+                else [int(i) for i in pdf["id"]]
+            )
+            rows = [gen_row(i, n, seed, vocab) for i in ids]
             yield pd.DataFrame(rows)
 
     return (
