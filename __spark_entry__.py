@@ -25,7 +25,10 @@ from infoscience_imports_spark.operators.upsert import upsert
 from infoscience_imports_spark.operators.similarity import (
     ann_signlsh_topk,
     cosine_topk,
+    hyperplanes,
+    probe_masks,
     similar_pairs,
+    similar_pairs_lsh,
 )
 from infoscience_imports_spark.operators.textops import (
     LANG_MARKERS,
@@ -204,9 +207,29 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_simhash_title(spark, sf_dir):
+    """SimHash short-field path made oracle-checkable (round-1 verdict #6):
+    banded SimHash on the 12-token title prefix generates candidates (exact
+    within the Hamming radius by pigeonhole), then the verify keeps pairs
+    whose prefix token MULTISET is identical — identical multisets hash to
+    identical SimHashes (Hamming 0), so candidate recall for the verified
+    contract is provably 1.0 and the output equals the brute-force DuckDB
+    twin. Fuzzier prefix similarity (Hamming 1-3) stays covered by the e2e
+    TITLE_DUP recall test, where truth is the planted classes."""
     docs = _doc_norm(_t(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text_norm", " "), lambda x: x != "")
+    pf = docs.select(
+        "doc_id", F.sort_array(F.slice(toks, 1, 12)).alias("ps")
+    )
     sg = sigs.compute_signatures(docs, CFG, text_col="text_norm", id_col="doc_id")
-    return lsh.simhash_edges(sg, CFG).select("id1", "id2", F.round("jaccard", 6).alias("score"))
+    cand = lsh.simhash_candidate_pairs(sg, CFG)
+    j = (
+        cand.join(pf.select(F.col("doc_id").alias("id1"), F.col("ps").alias("ps1")), on="id1")
+        .join(pf.select(F.col("doc_id").alias("id2"), F.col("ps").alias("ps2")), on="id2")
+    )
+    return (
+        j.filter(F.col("ps1") == F.col("ps2"))
+        .select("id1", "id2", F.size("ps1").alias("n_title_tokens"))
+    )
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -260,7 +283,19 @@ def q_ann_signlsh(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_signlsh_topk(queries, emb, dim=64, k=3, bits=6)
+    return ann_signlsh_topk(queries, emb, dim=64, k=3, bits=6, probe_radius=2)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Sub-quadratic near-dup path: sign-LSH band candidates + exact re-rank.
+
+    32 bands x 2 bits: miss prob < 2e-8 at sim 0.50, so the output equals
+    the exact all-pairs result on this data (the oracle is the brute-force
+    SQL) while the plan shape is the bucketed equi-join that scales."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similar_pairs_lsh(
+        emb, threshold=0.50, dim=64, bands=32, rows_per_band=2
+    )
 
 
 def q_group_merge_docs(spark, sf_dir):
@@ -467,6 +502,34 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_json_variants(spark, sf_dir):
+    """F19/F20: schema-of-variants from_json + coalesce-across-paths search.
+
+    Two JSON payload shapes are synthesized deterministically (event parity):
+    v0 nests meta at the top, v1 nests k one level deeper — the reference's
+    str-or-dict query dispatch (harvester.py:390-410) and recursive
+    first-non-null search (orcid_client.py:101-152). One from_json with the
+    union schema parses both; coalesce over the variant paths recovers the
+    fields without per-row Python."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    js = F.when(
+        F.pmod("event_id", F.lit(2)) == 0,
+        F.format_string('{"k": %s, "meta": {"type": "%s"}}', k, F.col("event_type")),
+    ).otherwise(
+        F.format_string('{"payload": {"k": %s}, "tags": ["%s"]}', k, F.upper("event_type"))
+    )
+    schema = "k int, meta struct<type:string>, payload struct<k:int>, tags array<string>"
+    p = F.from_json(js, schema)
+    k_any = F.coalesce(p["k"], p["payload"]["k"])
+    label = F.coalesce(p["meta"]["type"], F.try_element_at(p["tags"], F.lit(1)))
+    return (
+        ev.select(F.pmod(k_any, F.lit(10)).alias("k_mod"), label.alias("label"))
+        .groupBy("k_mod", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_events_asof_last_error(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = (
@@ -522,6 +585,53 @@ def q_family_agg_orders(spark, sf_dir):
     )
 
 
+def q_authors_nested_exists(spark, sf_dir):
+    """P3 over ArrayType(StructType): build a seq-ordered nested line array
+    per order, keep orders where ANY nested struct matches a regex predicate
+    (harvester.py:490-509 exists-over-authors), output scalars."""
+    from infoscience_imports_spark.operators.authors import (
+        build_author_array,
+        filter_exists_author,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    nested = build_author_array(
+        li, group_col="l_orderkey",
+        struct_cols=("l_returnflag", "l_linestatus"),
+        order_col="l_linenumber",
+    )
+    kept = filter_exists_author(
+        nested, lambda a: a["l_returnflag"].rlike("^R$")
+    )
+    return kept.select(
+        "l_orderkey",
+        F.size("authors").alias("n_lines"),
+        F.element_at("authors", 1)["l_returnflag"].alias("first_flag"),
+    )
+
+
+def q_authors_explode_dedup(spark, sf_dir):
+    """J1+A3 over the nested array: explode the struct array back to rows,
+    dedup by a struct-field subset (deduplicator.py:236-250), aggregate."""
+    from infoscience_imports_spark.operators.authors import (
+        build_author_array,
+        dedup_author_rows,
+        explode_authors,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    nested = build_author_array(
+        li, group_col="l_orderkey",
+        struct_cols=("l_returnflag", "l_linestatus"),
+        order_col="l_linenumber",
+    )
+    rows = explode_authors(nested, id_col="l_orderkey")
+    deduped = dedup_author_rows(rows, ("l_orderkey", "l_returnflag", "l_linestatus"))
+    return deduped.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_upsert_customers(spark, sf_dir):
     """A12/S10 upsert pattern: two order batches merged with counter +
     COALESCE semantics (pipeline_db.py:513-539)."""
@@ -559,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_signlsh": q_ann_signlsh,
         "group_merge_docs": q_group_merge_docs,
         "doc_rollup": q_doc_rollup,
@@ -575,9 +686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "events_json_variants": q_events_json_variants,
         "events_asof_last_error": q_events_asof_last_error,
         "orders_pagination": q_orders_pagination,
         "family_agg_orders": q_family_agg_orders,
+        "authors_nested_exists": q_authors_nested_exists,
+        "authors_explode_dedup": q_authors_explode_dedup,
         "upsert_customers": q_upsert_customers,
     }
 
@@ -585,6 +699,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL on pre-registered views)
 # ---------------------------------------------------------------------------
+
+
+def _ann_signlsh_sql(dim: int = 64, bits: int = 6, k: int = 3, seed: int = 7, radius: int = 2) -> str:
+    """Algorithm twin of q_ann_signlsh: the same seeded hyperplanes, bucket
+    bits, probe masks and exact re-rank, evaluated by DuckDB — an
+    independent-engine check of the multi-probe LSH itself, not just of a
+    brute-force equivalent (which would only match if recall were 1.0)."""
+    planes = hyperplanes(dim, bits, seed)
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec}, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    masks = ", ".join(str(m) for m in probe_masks(bits, radius))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {bucket_expr('CAST(embedding AS DOUBLE[])')} AS qb
+  FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         {bucket_expr('CAST(embedding AS DOUBLE[])')} AS cb
+  FROM embeddings),
+probes AS (
+  SELECT query_id, qv, xor(qb, m.mask) AS pb
+  FROM q, (SELECT unnest([{masks}]) AS mask) m),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM probes JOIN c ON c.cb = probes.pb AND c.neighbor_id != probes.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+FROM scored WHERE rank <= {k}
+"""
 
 
 def _lang_sql() -> str:
@@ -653,6 +807,14 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE group_size > 1
         """,
         "dedup_ngram_jaccard": f"WITH {_SHINGLE_CTE} {jac_select}",
+        "dedup_simhash_title": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(col='text')} AS t FROM documents),
+            pf AS (SELECT doc_id, list_sort(t[1:12]) AS ps FROM toks)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(len(a.ps) AS INT) AS n_title_tokens
+            FROM pf a JOIN pf b ON a.doc_id < b.doc_id AND a.ps = b.ps
+        """,
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE} {jac_select}",
         "dedup_clusters": f"""
             -- min-label propagation unrolled (planted components have tiny
@@ -684,6 +846,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_lang_id": _lang_sql(),
+        "text_fingerprints": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(col='text')} AS t FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tokstr,
+                     unnest(range(0, len(t))) AS pos, len(t) AS n
+              FROM toks),
+            h AS (
+              SELECT doc_id, pos, n,
+                     list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                         list_transform(range(1, length(tokstr) + 1),
+                                        i -> CAST(unicode(tokstr[i]) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 1000003) AS h
+              FROM tok),
+            grams AS (
+              SELECT doc_id, pos, n,
+                     sum(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                       % 2147483648 AS gram_h
+              FROM h),
+            fullg AS (SELECT * FROM grams WHERE pos <= n - 5),
+            sel AS (
+              SELECT doc_id,
+                     min(gram_h) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM fullg)
+            SELECT doc_id, CAST(count(DISTINCT fp) AS INT) AS n_fingerprints
+            FROM sel GROUP BY doc_id
+        """,
         "text_quality": _quality_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -705,6 +897,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
+        "embedding_neardup_lsh": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.50
+        """,
+        "ann_signlsh": _ann_signlsh_sql(),
         "group_merge_docs": f"""
             WITH ranked AS (
               SELECT doc_id, source, lang,
@@ -825,6 +1026,14 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY 1
         """,
+        "events_json_variants": """
+            -- independent check: computes the variant dispatch directly from
+            -- the source columns instead of round-tripping through JSON
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+                   CASE WHEN event_id % 2 = 0 THEN event_type ELSE upper(event_type) END AS label,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
         "events_asof_last_error": """
             WITH a AS (
               SELECT event_id, user_id, event_type,
@@ -853,6 +1062,28 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_lines
               FROM lineitem GROUP BY l_orderkey) g
             JOIN ranked w ON w.l_orderkey = g.l_orderkey AND w.rn = 1
+        """,
+        "authors_nested_exists": """
+            -- first_flag replicates the struct array_sort order exactly:
+            -- (seq_no, returnflag, linestatus) lexicographic, since seq_no
+            -- (l_linenumber) is not unique per order in this table
+            WITH r AS (
+              SELECT l_orderkey, l_returnflag,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_returnflag, l_linestatus) AS rn
+              FROM lineitem),
+            g AS (
+              SELECT l_orderkey, CAST(count(*) AS INT) AS n_lines,
+                     bool_or(l_returnflag = 'R') AS has_r
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT g.l_orderkey, g.n_lines, r.l_returnflag AS first_flag
+            FROM g JOIN r ON r.l_orderkey = g.l_orderkey AND r.rn = 1
+            WHERE g.has_r
+        """,
+        "authors_explode_dedup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n FROM (
+              SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem)
+            GROUP BY 1, 2
         """,
         "upsert_customers": """
             WITH b1 AS (

@@ -57,6 +57,25 @@ def normalize_doi(col: Column) -> Column:
     )
 
 
+def normalize_issn(col: Column) -> Column:
+    """F27: ISSN normalization (``crossref_client.py:891-937`` semantics):
+    strip separators, uppercase the X check digit, re-hyphenate 4-4; NULL for
+    anything that is not 8 [0-9X] characters."""
+    s = F.upper(F.regexp_replace(F.trim(col.cast("string")), r"[\s-]", ""))
+    ok = s.rlike(r"^[0-9]{7}[0-9X]$")
+    return F.when(
+        ok, F.concat(F.substring(s, 1, 4), F.lit("-"), F.substring(s, 5, 4))
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def normalize_isbn(col: Column) -> Column:
+    """F27: ISBN normalization (``wos_client_v2.py:889-949`` semantics):
+    strip separators, uppercase X; keep only 10- or 13-digit forms."""
+    s = F.upper(F.regexp_replace(F.trim(col.cast("string")), r"[\s-]", ""))
+    ok = s.rlike(r"^([0-9]{9}[0-9X]|[0-9]{13})$")
+    return F.when(ok, s).otherwise(F.lit(None).cast("string"))
+
+
 def oa_category(is_oa: Column, oa_status: Column, has_repo_copy: Column) -> Column:
     """5-way CASE classification (F22, ``pipeline_db.py:786-795`` shape)."""
     return (

@@ -113,20 +113,138 @@ def cosine_topk(
     )
 
 
-def similar_pairs(corpus: DataFrame, threshold: float, id_c: str = "vec_id", vec_c: str = "embedding") -> DataFrame:
+def similar_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_c: str = "vec_id",
+    vec_c: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
     """All pairs with cosine >= threshold (id1 < id2) — embedding near-dup.
 
+    Exact output over a *blocked* all-pairs join: each vector lands in one of
+    ``n_blocks`` hash blocks, the tiny (bi, bj) block-pair table (bi <= bj)
+    is broadcast, and each side equi-joins its block id onto it — so the
+    O(n^2) pair space is partitioned into n_blocks*(n_blocks+1)/2 co-located
+    chunks, each vector replicated ~n_blocks times. No corpus-sized
+    broadcast anywhere (round-1 verdict #4: ``broadcast(corpus)`` nested
+    loop cannot run at web scale); at cluster scale n_blocks grows as
+    sqrt(executors) and the shuffle stays linear in n * n_blocks.
+
+    Exactness is required because a low cosine threshold (0.45 == 63°) gives
+    sign-LSH no S-curve separation: P[bit agrees] is 0.65 at the threshold
+    vs 0.5 for orthogonal pairs, so any banding either misses qualifying
+    pairs or admits nearly all pairs. For high thresholds (>= ~0.8) use
+    :func:`similar_pairs_lsh`, the sub-quadratic path.
+
     cosine(a,b) == dot(a,b)/(|a|*|b|) evaluated per pair so the result is
-    bit-identical to the SQL oracle; the norms are joined in as precomputed
-    scalars (one array pass per row instead of two per pair).
+    bit-identical to the SQL oracle.
     """
+    spark = corpus.sparkSession
     cos = _cosine_pandas_udf()
-    a = corpus.select(F.col(id_c).alias("id1"), F.col(vec_c).alias("_v1"))
-    b = corpus.select(F.col(id_c).alias("id2"), F.col(vec_c).alias("_v2"))
+    blocks = (
+        spark.range(n_blocks).select(F.col("id").alias("bi"))
+        .crossJoin(spark.range(n_blocks).select(F.col("id").alias("bj")))
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    v = corpus.select(
+        F.col(id_c).alias("_id"),
+        F.col(vec_c).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_c)), F.lit(n_blocks)).alias("_blk"),
+    )
+    left = v.join(F.broadcast(blocks), v["_blk"] == blocks["bi"]).select(
+        "bi", "bj", F.col("_id").alias("_ida"), F.col("_v").alias("_va")
+    )
+    right = v.join(F.broadcast(blocks), v["_blk"] == blocks["bj"]).select(
+        F.col("bi").alias("bi2"), F.col("bj").alias("bj2"),
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+    )
+    cand = (
+        left.join(
+            right,
+            on=[F.col("bi") == F.col("bi2"), F.col("bj") == F.col("bj2")],
+        )
+        # diagonal chunks see both orientations — keep one; off-diagonal
+        # chunks see each unordered pair exactly once (possibly id-reversed)
+        .filter((F.col("bi") != F.col("bj")) | (F.col("_ida") < F.col("_idb")))
+        .filter(F.col("_ida") != F.col("_idb"))
+    )
     return (
-        F.broadcast(a)
-        .join(b, F.col("id1") < F.col("id2"))
-        .withColumn("sim", cos(F.col("_v1"), F.col("_v2")))
+        cand.withColumn("sim", cos(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(
+            F.least("_ida", "_idb").alias("id1"),
+            F.greatest("_ida", "_idb").alias("id2"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def similar_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_c: str = "vec_id",
+    vec_c: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: sign-LSH band candidates, exact re-rank.
+
+    Mirrors the text-side MinHash design (lsh.py): vectors are hashed to
+    ``bands`` buckets of ``rows_per_band`` sign bits each; pairs sharing any
+    band bucket become candidates (equi-join keyed by (band, bucket) — the
+    only shuffle); candidates are re-ranked with the exact cosine and
+    filtered at ``threshold``. Recall follows the LSH S-curve
+    1-(1-p^r)^B with p = 1 - acos(sim)/pi — pick bands/rows for the target
+    threshold (e.g. 16x4 is ~1-3e-5 miss at sim 0.9). Use for thresholds
+    where p separates from 0.5; see :func:`similar_pairs` for the exact
+    blocked form.
+    """
+    plane_mat = np.asarray(hyperplanes(dim, bands * rows_per_band, seed), dtype=np.float64)
+    cos = _cosine_pandas_udf()
+
+    # band buckets in one Arrow kernel: a single matmul + sign-bit packing
+    # per batch (per-plane Column folds are interpreted CodegenFallback and
+    # were ~100x slower here — same lesson as the round-1 cosine UDF)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def band_buckets(vecs):
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ plane_mat.T >= 0).reshape(len(m), bands, rows_per_band)
+        keys = (bits * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(keys))
+
+    banded = corpus.select(
+        F.col(id_c).alias("_id"),
+        F.col(vec_c).alias("_v"),
+        F.posexplode(band_buckets(F.col(vec_c))).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.col("a._v").alias("_v1"),
+            F.col("b._v").alias("_v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("sim", cos(F.col("_v1"), F.col("_v2")))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )
@@ -147,6 +265,17 @@ def signlsh_bucket_col(vec, planes: list[list[float]]):
     return bucket
 
 
+def probe_masks(bits: int, radius: int) -> list[int]:
+    """XOR masks for multi-probe LSH: all bit patterns of weight <= radius."""
+    from itertools import combinations
+
+    masks = []
+    for w in range(radius + 1):
+        for combo in combinations(range(bits), w):
+            masks.append(sum(1 << i for i in combo))
+    return masks
+
+
 def ann_signlsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -157,19 +286,32 @@ def ann_signlsh_topk(
     id_c: str = "vec_id",
     vec: str = "embedding",
     seed: int = 7,
+    probe_radius: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-LSH bucket, exact re-rank.
+    """Approximate top-k: multi-probe sign-LSH candidates, exact re-rank.
 
-    Scale path: the corpus is bucketed once (a cheap narrow column), queries
-    probe via equi-join on bucket — shuffle keyed by bucket instead of a
-    cross join. Recall is tunable via ``bits`` (fewer bits = more recall,
-    more candidates) or multi-probe; this is the IVF-style trade.
+    Scale path: the corpus is bucketed once (a cheap narrow column); each
+    query probes its own bucket plus every bucket within Hamming distance
+    ``probe_radius`` of it (flip 1..radius sign bits) — the standard
+    multi-probe recall fix for sign-LSH (round-1 verdict #5: single-probe
+    recall falls off a cliff as bits grow, because a true neighbor on the
+    wrong side of ONE hyperplane becomes unreachable). The join stays an
+    equi-join keyed by bucket — sum(C(bits, 0..radius)) probe rows per
+    query instead of a corpus cross join. Re-rank is the exact Arrow cosine.
     """
     planes = hyperplanes(dim, bits, seed)
-    q = queries.select(
+    cos = _cosine_pandas_udf()
+    masks = probe_masks(bits, probe_radius)
+    q0 = queries.select(
         F.col(id_q).alias("query_id"),
         F.col(vec).alias("_qv"),
-        signlsh_bucket_col(F.col(vec), planes).alias("bucket"),
+        signlsh_bucket_col(F.col(vec), planes).alias("_qbucket"),
+    )
+    # each (query, neighbor) matches at most once: the neighbor has one
+    # bucket and probe masks are distinct — no dedup needed after the join
+    q = q0.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("_qbucket").bitwiseXOR(F.lit(m)) for m in masks])),
     )
     c = corpus.select(
         F.col(id_c).alias("neighbor_id"),
@@ -179,7 +321,7 @@ def ann_signlsh_topk(
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_col(F.col("_qv"), F.col("_cv")))
+        .withColumn("sim", cos(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -103,22 +103,41 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def portable_token_hash(tok: Column) -> Column:
+    """Engine-portable token hash: polynomial fold over ASCII codes, mod a
+    prime. Normalized tokens are [0-9a-z] only, so ``ascii``/``unicode``
+    agree across engines — this is what lets the winnowing output be
+    verified row-for-row by an independent SQL engine (the xxhash64 default
+    has no cross-engine twin)."""
+    codes = F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(1_000_003),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — public).
 
     k-gram rolling hashes, then the min hash of every sliding window of
     ``window`` consecutive k-grams is selected; distinct selected hashes are
-    the doc's fingerprints. Fully JVM-side: posexplode + xxhash64 + a
-    min-over-rolling-frame window.
+    the doc's fingerprints. Fully JVM-side: posexplode + token hash + a
+    min-over-rolling-frame window. ``portable_hash=True`` (default) uses the
+    oracle-checkable polynomial hash; pass False for xxhash64 (whole-stage
+    codegen, the 100-TB hot path — fingerprint *counts* are statistically
+    identical, values differ).
     """
     toks = df.select(F.col(id_col).alias("doc_id"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    h_col = portable_token_hash(F.col("tok")) if portable_hash else F.xxhash64("tok")
+    hashed = toks.withColumn("h", h_col)
     w_gram = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

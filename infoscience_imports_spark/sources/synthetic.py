@@ -33,7 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    BooleanType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -258,6 +261,81 @@ def generate_web_pages(
     return (
         spark.range(0, n, numPartitions=parts)
         .mapInPandas(kernel, schema=SCHEMA)
+    )
+
+
+_AUTHOR_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField(
+            "authors",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("seq_no", IntegerType(), False),
+                        StructField("author", StringType(), False),
+                        StructField("orcid_id", StringType(), True),
+                        StructField("organizations", StringType(), False),
+                        StructField("is_corresponding", BooleanType(), False),
+                    ]
+                ),
+                False,
+            ),
+            False,
+        ),
+    ]
+)
+
+_ORG_POOL = [
+    "Example Polytechnic (EPFL)",
+    "Institute of Web Studies",
+    "Univ. of Testing",
+    "Acme Research Lab",
+    "Center for Synthetic Data",
+]
+
+
+def generate_author_table(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic nested-author companion table: (url, authors array<struct>).
+
+    Mirrors the reference's per-record author list
+    (``clients/wos_client_v2.py:1164-1176``: seq_no/author/orcid_id/
+    organizations('|'-joined)/is_corresponding) so P3/J1/A3 run against a
+    real ``ArrayType(StructType)`` column. Joins to the page corpus on url.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = _rng(seed, "authors", i)
+                n_auth = rng.randint(1, 4)
+                authors = []
+                for s in range(n_auth):
+                    name = " ".join(
+                        "".join(rng.choices(_SYLLABLES, k=2)).capitalize()
+                        for _ in range(2)
+                    )
+                    orgs = rng.sample(_ORG_POOL, k=rng.randint(1, 3))
+                    authors.append(
+                        {
+                            "seq_no": s + 1,
+                            "author": name,
+                            "orcid_id": (
+                                f"0000-000{rng.randint(1,9)}-{rng.randint(1000,9999)}-{rng.randint(1000,9999)}"
+                                if rng.random() < 0.6
+                                else None
+                            ),
+                            "organizations": "|".join(orgs),
+                            "is_corresponding": s == 0,
+                        }
+                    )
+                rows.append({"url": f"https://example{i % 97}.test/p/{i}", "authors": authors})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=max(4, spark.sparkContext.defaultParallelism)).mapInPandas(
+        kernel, schema=_AUTHOR_SCHEMA
     )
 
 
