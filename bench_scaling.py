@@ -44,8 +44,11 @@ def worker(cores: int, corpus: str) -> None:
     # The extract/signature kernels are CPU-dense (~2 MB/s/core), so scan
     # splits must be sized to a few seconds of kernel work or the run is
     # task-starved/raggedly balanced at the higher core count (round-1: 32 MB
-    # splits gave ~12 uneven tasks at 8 cores). Target ~12 splits per core.
-    split = min(32 << 20, max(1 << 20, _dir_bytes(corpus) // (12 * cores)))
+    # splits gave ~12 uneven tasks at 8 cores). But every mapInPandas task
+    # also pays an Arrow worker handshake (~100 ms), so splits must not be
+    # too SMALL either: 12/core put 181 extract tasks through 8 workers and
+    # doubled the stage (8.1 s vs 4.8 s at 4/core). Target ~4 splits/core.
+    split = min(32 << 20, max(1 << 20, _dir_bytes(corpus) // (4 * cores)))
     spark = get_spark(
         app_name=f"scale-{cores}",
         master=f"local[{cores}]",
@@ -66,9 +69,11 @@ def worker(cores: int, corpus: str) -> None:
     n = pages.count()
     wh = tempfile.mkdtemp(prefix=f"scale-{cores}-")
     pipe = DedupPipeline(spark, CheckpointStore(spark, wh), cfg, input_fingerprint="scale")
+    steal0 = _host_steal_ticks()
     t0 = time.monotonic()
     res = pipe.run(pages, resume=False)
     wall = time.monotonic() - t0
+    steal = (_host_steal_ticks() - steal0) / 100.0  # ticks are 10 ms
     print(
         "WORKER_RESULT "
         + json.dumps(
@@ -77,11 +82,23 @@ def worker(cores: int, corpus: str) -> None:
                 "pages": n,
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(n / wall, 1),
+                # hypervisor CPU steal (whole host, core-seconds) during the
+                # timed window: the shared-host noise forensic for this
+                # attempt — >~5% of cores*wall marks a polluted window
+                "host_steal_coresec": round(steal, 1),
                 "stages": {k: round(v, 2) for k, v in res.timings.items()},
             }
         ),
         flush=True,
     )
+
+
+def _host_steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
 
 
 def main() -> None:

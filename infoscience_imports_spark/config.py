@@ -47,6 +47,14 @@ class DedupConfig:
     # --- execution ---
     shuffle_partitions: int = 32
     max_cc_iterations: int = 50   # guard: >= ceil(log2(diameter)) for any real graph
+    # components fast path: measured symmetrized-edge count under which the
+    # graph is solved with a driver union-find (2M edges ~ 32 MB — the same
+    # bounded-driver-memory class as a gated broadcast); above it the
+    # distributed large-star/small-star iteration runs
+    cc_local_max_edges: int = 2_000_000
+    # salt replication is only paid when the edge set is big enough for a
+    # hub to swamp one reducer
+    salt_min_edges: int = 10_000_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perms:

@@ -95,7 +95,16 @@ def build_bloom(hashes: DataFrame, col: str, n_items: int, bits_per_item: int = 
                 np.bitwise_or.at(bitmap, (p >> np.uint64(3)).astype(np.int64), vals)
         yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    parts = hashes.select(F.col(col).alias(col)).mapInPandas(
+    # bound the reduce fan-in: one bitmap per partition means N_splits x
+    # bitmap_bytes through the treeReduce — with byte-sized scan splits that
+    # anti-scales (measured 0.6 s -> 3.1 s from 2 to 8 cores at 100k pages).
+    # The fold itself is trivial CPU, so cap the folding partitions at the
+    # cluster parallelism.
+    sc = hashes.sparkSession.sparkContext
+    src = hashes.select(F.col(col).alias(col))
+    if src.rdd.getNumPartitions() > sc.defaultParallelism:
+        src = src.coalesce(sc.defaultParallelism)
+    parts = src.mapInPandas(
         kernel, schema=StructType([StructField("bitmap", BinaryType(), False)])
     )
     merged = parts.rdd.map(lambda r: r[0]).treeReduce(
@@ -148,6 +157,7 @@ def containment_candidates(
     signatures: DataFrame,
     texts: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """(small_id, big_id) candidate pairs where small may be ⊂ big.
 
@@ -157,6 +167,10 @@ def containment_candidates(
     equi-join on the hash for membership (reference semantics:
     ``harvester.py:683-689`` intersects version-id lists; here the "list" is
     the bottom-k sketch and the intersection is the join).
+
+    ``n_docs_hint`` (e.g. the committed row count of the signatures snapshot,
+    free from the checkpoint manifest) sizes the Bloom bitmap without paying
+    a separate count job; only the upper bound matters for the fp rate.
     """
     k = cfg.bottomk
     bk = signatures.select(
@@ -164,7 +178,10 @@ def containment_candidates(
         F.col("n_shingles").alias("small_n"),
         F.explode("bottomk").alias("sh"),
     ).persist()
-    n_bk = bk.count()
+    if n_docs_hint is not None:
+        n_bk = n_docs_hint * cfg.bottomk
+    else:
+        n_bk = bk.count()
     if n_bk == 0:
         return bk.select(F.col("small_id"), F.col("small_id").alias("big_id")).limit(0)
     bitmap, m_bits = build_bloom(bk, "sh", n_bk, cfg.bloom_bits_per_item)

@@ -32,10 +32,16 @@ from ..config import DedupConfig, DEFAULT_CONFIG
 def band_buckets(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """signatures -> (doc_id, band, bucket) — one row per (doc, band).
 
-    Bucket key = xxhash64(band index, the r signature values of the band),
-    computed JVM-side from the stored ``minhash`` array (whole-stage codegen;
-    the Python kernel is not re-entered).
+    Fast path: the signature kernel pre-computes the band keys
+    (``bands`` column, operators/signatures.py ``band_keys``), so this stage
+    is a pure narrow-column explode. Fallback (snapshots written before the
+    column existed): key = xxhash64(band index, the r signature values),
+    computed JVM-side from the stored ``minhash`` array.
     """
+    if "bands" in signatures.columns:
+        return signatures.select(
+            "doc_id", F.posexplode("bands").alias("band", "bucket")
+        )
     r = cfg.lsh_rows
     bucket_cols = F.array(
         *[
@@ -60,8 +66,15 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     hot = sizes.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket")
 
     small = buckets.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
-    left = small.alias("l")
-    right = small.alias("r")
+    # The self-join sides are O(corpus) — force a shuffle-hash join. Without
+    # the hint Catalyst sees a compressed-parquet size estimate under the
+    # broadcast threshold and builds a driver-side hash relation of the WHOLE
+    # bucket table: single-threaded, core-count-independent (measured 4x
+    # slower at 8 cores than 2 on 100k pages), and an executor/driver OOM at
+    # web scale. Shuffled by (band, bucket) both sides scale with executors
+    # and AQE still splits residual skew.
+    left = small.alias("l").hint("shuffle_hash")
+    right = small.alias("r").hint("shuffle_hash")
     small_pairs = (
         left.join(
             right,

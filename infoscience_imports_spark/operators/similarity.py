@@ -225,7 +225,10 @@ def similar_pairs_lsh(
         F.col(vec_c).alias("_v"),
         F.posexplode(band_buckets(F.col(vec_c))).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # O(corpus) on both sides: pin a shuffle join (same rationale as the
+    # MinHash bucket self-join in lsh.py — a size-estimate flip to broadcast
+    # would build a corpus-sized hash relation)
+    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,

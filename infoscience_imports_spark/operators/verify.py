@@ -161,6 +161,94 @@ def jaccard_verify_text(
     )
 
 
+def verify_tagged_pairs(
+    tagged_pairs: DataFrame,
+    texts: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """One verify pass for BOTH fuzzy rules over a union of tagged candidates.
+
+    ``tagged_pairs`` carries (id1, id2, rule) where rule ∈ {minhash, contain};
+    for ``contain`` rows id1 is the (suspected) contained side. The minhash
+    and containment verifications need the same expensive inputs — the two
+    normalized texts and their recomputed shingle sets — so running them as
+    separate operators scans the extract table twice more and pays a second
+    Arrow kernel pass (measured: the split version held the edges stage at
+    1.4x from 2 to 8 cores; this unification + a persisted text frame is what
+    the stage needed to scale). Semantics are byte-identical to
+    :func:`jaccard_verify_text` / ``containment.containment_edges``: same
+    hash kernels, same thresholds, same exact-substring check.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.shingles import shingle_hashes, token_hashes
+
+    t = texts.select("doc_id", "text_norm")
+    joined = (
+        gate_broadcast(tagged_pairs.select("id1", "id2", "rule"), cfg.broadcast_pair_limit)
+        .join(t.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("_t1")), on="id1")
+        .join(t.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("_t2")), on="id2")
+    )
+    k = cfg.shingle_k
+    jac_thr = cfg.jaccard_threshold
+    con_thr = cfg.containment_threshold
+    out_schema = StructType(
+        [
+            StructField("id1", LongType(), False),
+            StructField("id2", LongType(), False),
+            StructField("jaccard", DoubleType(), True),
+            StructField("rule", StringType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            o1, o2, oj, orl = [], [], [], []
+            for i1, i2, rule, t1, t2 in zip(
+                pdf["id1"], pdf["id2"], pdf["rule"], pdf["_t1"], pdf["_t2"]
+            ):
+                s1 = shingle_hashes(
+                    token_hashes(t1.split() if isinstance(t1, str) else [], memo), k
+                )
+                s2 = shingle_hashes(
+                    token_hashes(t2.split() if isinstance(t2, str) else [], memo), k
+                )
+                if rule == "minhash":
+                    if s1.size == 0 and s2.size == 0:
+                        continue
+                    inter = np.intersect1d(s1, s2, assume_unique=True).size
+                    jac = inter / (s1.size + s2.size - inter)
+                    if jac >= jac_thr:
+                        o1.append(int(i1))
+                        o2.append(int(i2))
+                        oj.append(float(jac))
+                        orl.append("minhash")
+                else:  # contain: id1 = suspected-contained (small) side
+                    if s1.size == 0 or not isinstance(t1, str) or not isinstance(t2, str):
+                        continue
+                    inter = np.intersect1d(s1, s2, assume_unique=True).size
+                    containment = inter / s1.size
+                    if containment >= con_thr and t1 in t2:
+                        o1.append(min(int(i1), int(i2)))
+                        o2.append(max(int(i1), int(i2)))
+                        oj.append(float(containment))
+                        orl.append("contain")
+            yield pd.DataFrame({"id1": o1, "id2": o2, "jaccard": oj, "rule": orl})
+
+    return joined.mapInPandas(kernel, schema=out_schema).distinct()
+
+
 def combine_edges(*edge_frames: DataFrame) -> DataFrame:
     """Union edge sets, keeping one row per pair (highest-precedence rule).
 

@@ -64,6 +64,7 @@ class DedupPipeline:
         self.cfg = cfg
         self.cfg_fp = chain_fingerprint(repr(sorted(cfg.to_dict().items())))
         self.input_fp = input_fingerprint
+        self._stage_persists: list[DataFrame] = []
 
     # -- stage fingerprints chain --------------------------------------------
     def fingerprint(self, stage: str) -> str:
@@ -155,20 +156,42 @@ class DedupPipeline:
         return lsh.band_buckets(reps, self.cfg)
 
     def _edges(self, signatures: DataFrame, buckets: DataFrame, extract_df: DataFrame) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
         reps = self._representatives(signatures)
         # candidate-generation reads narrow columns only (column pruning on
         # the signature parquet); every verify recomputes shingles from
-        # text_norm (scale rationale in operators/signatures.py)
-        rep_texts = extract_df.join(
-            reps.select("doc_id"), on="doc_id", how="left_semi"
-        ).select("doc_id", "text_norm")
+        # text_norm (scale rationale in operators/signatures.py).
+        # rep_texts feeds three consumers (containment postings + the two
+        # text joins of the unified verify) — persist it once instead of
+        # re-scanning the extract snapshot per consumer.
+        rep_texts = (
+            extract_df.join(reps.select("doc_id"), on="doc_id", how="left_semi")
+            .select("doc_id", "text_norm")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._stage_persists.append(rep_texts)
         exact = verify.exact_edges(signatures)
-        minhash_pairs = lsh.candidate_pairs(buckets, self.cfg)
-        minhash = verify.jaccard_verify_text(minhash_pairs, rep_texts, self.cfg, rule="minhash")
         simhash = lsh.simhash_edges(reps, self.cfg)
-        contain_cand = cont.containment_candidates(reps, rep_texts, self.cfg)
-        contain = cont.containment_edges(contain_cand, rep_texts, self.cfg)
-        return verify.combine_edges(exact, contain, minhash, simhash)
+        # both fuzzy rules verify in ONE kernel pass over ONE pair of text
+        # joins (operators/verify.py verify_tagged_pairs)
+        minhash_pairs = lsh.candidate_pairs(buckets, self.cfg).select(
+            "id1", "id2", F.lit("minhash").alias("rule")
+        )
+        contain_cand = cont.containment_candidates(
+            reps,
+            rep_texts,
+            self.cfg,
+            n_docs_hint=self.store.rows("signatures", self.fingerprint("signatures")),
+        ).select(
+            F.col("small_id").alias("id1"),
+            F.col("big_id").alias("id2"),
+            F.lit("contain").alias("rule"),
+        )
+        fuzzy = verify.verify_tagged_pairs(
+            minhash_pairs.unionByName(contain_cand), rep_texts, self.cfg
+        )
+        return verify.combine_edges(exact, fuzzy, simhash)
 
     def _components(self, edges: DataFrame, extract_df: DataFrame) -> DataFrame:
         assign = comp.connected_components(
@@ -196,6 +219,9 @@ class DedupPipeline:
             t0 = time.monotonic()
             df, key = self._build_stage(stage, pages)
             info = self.store.write(stage, df, fp, key_col=key)
+            for cached in self._stage_persists:
+                cached.unpersist()
+            self._stage_persists.clear()
             res.timings[stage] = time.monotonic() - t0
             res.rows[stage] = info.rows
         return res

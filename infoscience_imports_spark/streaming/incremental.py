@@ -12,6 +12,15 @@ with the per-row Solr lookup replaced by a digest anti-join.
 Kept deliberately narrow (exact-dup increments + signature accumulation);
 full incremental LSH would re-bucket only new signatures against stored
 buckets — same joins as the batch stages, driven per micro-batch.
+
+State layout (scale design): the accumulated digest state is written
+hash-partitioned by ``state_bucket = pmod(xxhash64(digest), n_buckets)``.
+Each micro-batch computes the distinct buckets it touches (≤ n_buckets, a
+tiny driver list) and reads ONLY those partitions via partition pruning —
+per-batch state I/O is proportional to the batch's bucket fan-out, not to
+the total state size, so the "known digests" read no longer grows unbounded
+per micro-batch. With Iceberg state tables the same pruning falls out of
+min/max data skipping on a digest-sorted table.
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ class IncrementalDedup:
         spark: SparkSession,
         state_dir: str,
         cfg: DedupConfig = DEFAULT_CONFIG,
+        n_state_buckets: int = 64,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -41,6 +51,12 @@ class IncrementalDedup:
         self.sig_dir = os.path.join(state_dir, "signatures")
         self.new_dir = os.path.join(state_dir, "new_unique")
         self.checkpoint_dir = os.path.join(state_dir, "_stream_checkpoint")
+        self.n_state_buckets = n_state_buckets
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64("digest"), F.lit(self.n_state_buckets)).alias(
+            "state_bucket"
+        )
 
     # -- batch kernel (also used by foreachBatch) ------------------------------
     def process_batch(self, pages: DataFrame, batch_id: int) -> None:
@@ -48,11 +64,23 @@ class IncrementalDedup:
             F.xxhash64("url").alias("doc_id"),
             normalize_text_col(extract_text_col(F.col("html"))).alias("text_norm"),
         )
-        sg = sigs.compute_signatures(ext, self.cfg)
-        if os.path.isdir(self.sig_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.sig_dir)
-        ):
-            known = self.spark.read.parquet(self.sig_dir).select("digest").distinct()
+        sg = sigs.compute_signatures(ext, self.cfg).withColumn(
+            "state_bucket", self._bucket_col()
+        )
+        has_state = os.path.isdir(self.sig_dir) and any(
+            d.startswith("state_bucket=") for d in os.listdir(self.sig_dir)
+        )
+        if has_state:
+            # tiny driver list (≤ n_state_buckets ints) -> partition pruning:
+            # only the state partitions this batch can collide with are read
+            touched = [
+                r[0] for r in sg.select("state_bucket").distinct().collect()
+            ]
+            known = (
+                self.spark.read.parquet(self.sig_dir)
+                .filter(F.col("state_bucket").isin(touched))
+                .select("digest")
+            )
             fresh = sg.join(known, on="digest", how="left_anti")
         else:
             fresh = sg
@@ -65,7 +93,9 @@ class IncrementalDedup:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        fresh_unique.write.mode("append").parquet(self.sig_dir)
+        fresh_unique.write.mode("append").partitionBy("state_bucket").parquet(
+            self.sig_dir
+        )
         fresh_unique.select("doc_id", "digest").withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(self.new_dir)
@@ -88,3 +118,23 @@ class IncrementalDedup:
 
     def unique_docs(self) -> DataFrame:
         return self.spark.read.parquet(self.new_dir)
+
+
+def watermark_dedup_stream(pages_stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Spark-native bounded-state streaming exact-dedup.
+
+    ``dropDuplicatesWithinWatermark`` on the content digest: the state store
+    holds only digests younger than the watermark — state is bounded by the
+    event-time window instead of growing with the corpus, the right contract
+    when upstream guarantees duplicates arrive within ``delay`` of each other
+    (e.g. re-crawls inside one WARC dump). Complements ``IncrementalDedup``,
+    which keeps the full digest history (bucket-pruned) for unbounded lookback.
+    """
+    ext = pages_stream.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.col("warc_ts"),
+        F.xxhash64(
+            normalize_text_col(extract_text_col(F.col("html")))
+        ).alias("digest"),
+    )
+    return ext.withWatermark("warc_ts", delay).dropDuplicatesWithinWatermark(["digest"])

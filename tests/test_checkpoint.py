@@ -61,6 +61,84 @@ def test_manifest_lineage_covers_all_stages(spark, tiny_pages):
     shutil.rmtree(wh)
 
 
+def test_snapshot_log_and_time_travel(spark):
+    """Iceberg table contract: snapshot ids chain, old versions stay readable."""
+    wh = tempfile.mkdtemp(prefix="wh-ck5-")
+    store = CheckpointStore(spark, wh)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string")
+    i1 = store.write("tbl", v1, "fp1", key_col="id")
+    i2 = store.write("tbl", v2, "fp2", key_col="id")
+    assert (i1.snapshot_id, i2.snapshot_id) == (1, 2)
+    log = store.snapshots("tbl")
+    assert [e["parent_id"] for e in log] == [None, 1]
+    assert [e["operation"] for e in log] == ["replace", "replace"]
+    # time travel by snapshot id and by timestamp
+    assert {r["v"] for r in store.read_snapshot("tbl", 1).collect()} == {"a", "b"}
+    assert {r["v"] for r in store.read_snapshot("tbl", 2).collect()} == {"a2", "c"}
+    as_of = store.read_as_of("tbl", log[0]["committed_at"])
+    assert {r["v"] for r in as_of.collect()} == {"a", "b"}
+    # latest pointer still reads v2
+    assert {r["v"] for r in store.read("tbl").collect()} == {"a2", "c"}
+    # resumability accepts any committed fingerprint, not just the latest
+    assert store.has_snapshot("tbl", "fp1") and store.has_snapshot("tbl", "fp2")
+    shutil.rmtree(wh)
+
+
+def test_expire_snapshots_keeps_latest(spark):
+    wh = tempfile.mkdtemp(prefix="wh-ck6-")
+    store = CheckpointStore(spark, wh)
+    for i in range(4):
+        store.write("tbl", spark.range(i + 1), f"fp{i}", key_col="id")
+    expired = store.expire_snapshots("tbl", keep_last=2)
+    assert expired == [1, 2]
+    # expired versions fail loudly; retained ones still read
+    assert store.read_snapshot("tbl", 4).count() == 4
+    assert store.read_snapshot("tbl", 3).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        store.read_snapshot("tbl", 1).count()
+    shutil.rmtree(wh)
+
+
+def test_merge_into_upsert_and_schema_evolution(spark):
+    """MERGE INTO: matched rows coalesce + bump seen_count, unmatched insert;
+    a new source column is added (old rows NULL), absent columns preserved."""
+    wh = tempfile.mkdtemp(prefix="wh-ck7-")
+    store = CheckpointStore(spark, wh)
+    base = spark.createDataFrame(
+        [("k1", "t1", 2020), ("k2", None, 2021)], "pub_id string, title string, year int"
+    )
+    store.write("pubs", base, "fp-base", key_col="pub_id")
+    src = spark.createDataFrame(
+        [("k2", "t2-new", "WOS"), ("k3", "t3", "SCO")],
+        "pub_id string, title string, source string",  # no year; new col source
+    )
+    info = store.merge_into("pubs", src, key_col="pub_id")
+    assert info.snapshot_id == 2
+    rows = {r["pub_id"]: r for r in store.read("pubs").collect()}
+    assert set(rows) == {"k1", "k2", "k3"}
+    # matched: new non-null wins, old preserved where source is null
+    assert rows["k2"]["title"] == "t2-new" and rows["k2"]["year"] == 2021
+    assert rows["k2"]["seen_count"] == 2 and rows["k1"]["seen_count"] == 1
+    # schema evolution both directions
+    assert rows["k1"]["source"] is None and rows["k3"]["source"] == "SCO"
+    assert rows["k3"]["year"] is None
+    # unmatched insert
+    assert rows["k3"]["title"] == "t3"
+    # snapshot log records the merge and the pre-merge version still reads
+    ops = [e["operation"] for e in store.snapshots("pubs")]
+    assert ops == ["replace", "merge"]
+    pre = store.read_snapshot("pubs", 1)
+    assert pre.count() == 2 and "source" not in pre.columns
+    # a second merge of the same source doubles seen_count only for its keys
+    store.merge_into("pubs", src, key_col="pub_id")
+    rows2 = {r["pub_id"]: r for r in store.read("pubs").collect()}
+    assert rows2["k2"]["seen_count"] == 3 and rows2["k1"]["seen_count"] == 1
+    shutil.rmtree(wh)
+
+
 def test_config_change_invalidates_fingerprints(spark):
     wh = tempfile.mkdtemp(prefix="wh-ck4-")
     store = CheckpointStore(spark, wh)

@@ -109,5 +109,42 @@ def test_incremental_streaming_dedup(spark):
     q2 = inc.start(again_dir, schema=pipeline_input(pages).schema)
     q2.awaitTermination(300)
     assert inc.unique_docs().count() == first  # all dups vs accumulated state
+    # state is hash-bucket partitioned so each batch prunes its reads
+    assert any(
+        d.startswith("state_bucket=") for d in os.listdir(inc.sig_dir)
+    )
     shutil.rmtree(state)
+    shutil.rmtree(in_dir)
+
+
+def test_watermark_dedup_stream(spark):
+    from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
+    from infoscience_imports_spark.streaming.incremental import watermark_dedup_stream
+
+    in_dir = tempfile.mkdtemp(prefix="stream-wm-")
+    pages = pipeline_input(generate_web_pages(spark, 80, seed=5))
+    pages.write.mode("overwrite").parquet(in_dir)
+    expected = (
+        pages.select(
+            F.xxhash64(normalize_text_col(extract_text_col(F.col("html")))).alias("d")
+        )
+        .distinct()
+        .count()
+    )
+
+    stream = spark.readStream.schema(pages.schema).parquet(in_dir)
+    out = watermark_dedup_stream(stream, delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmdedup")
+        .outputMode("append")
+        .option("checkpointLocation", in_dir + "-ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT digest FROM wmdedup")
+    # first occurrence of each digest is emitted exactly once
+    assert got.count() == expected
+    assert got.distinct().count() == expected
     shutil.rmtree(in_dir)

@@ -184,3 +184,21 @@ def test_determinism_two_runs_identical(spark, tiny_pages):
         pipe.run(pipeline_input(tiny_pages).repartition(4 if run == 0 else 7))
         outs.append(sorted((r["doc_id"], r["cluster_id"]) for r in pipe.clusters().collect()))
     assert outs[0] == outs[1]
+
+
+def test_cc_fast_path_matches_distributed(spark):
+    """The size-gated driver union-find and the large-star/small-star
+    iteration must produce identical assignments (same min-root rule)."""
+    from infoscience_imports_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 30), (5, 4), (100, 3), (11, 12), (12, 1000)],
+        "id1 long, id2 long",
+    )
+    fast = sorted(
+        tuple(r) for r in connected_components(edges, DedupConfig()).collect()
+    )
+    forced = DedupConfig(cc_local_max_edges=0, salt_min_edges=0)
+    dist = sorted(tuple(r) for r in connected_components(edges, forced).collect())
+    assert fast == dist
+    assert fast[0] == (1, 1)
