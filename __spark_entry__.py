@@ -87,8 +87,12 @@ def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
     postings = sh.select("doc_id", F.explode("sh").alias("s0")).select(
         "doc_id", F.xxhash64("s0").alias("s")
     )
-    a = postings.alias("a")
-    b = postings.alias("b")
+    # postings is O(corpus x shingles): pin the self-join to shuffle-hash —
+    # Catalyst's post-explode size estimate otherwise flips it to a
+    # driver-built broadcast of the whole posting table (same class of
+    # anti-scaling bug as the LSH bucket self-join, operators/lsh.py)
+    a = postings.alias("a").hint("shuffle_hash")
+    b = postings.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col("a.doc_id") < F.col("b.doc_id")])
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))

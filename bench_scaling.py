@@ -109,25 +109,29 @@ def main() -> None:
                     help="interleaved repeats per core count; fastest run wins "
                          "(filters out shared-host noise windows)")
     ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--corpus", default=None,
+                    help="reuse a pre-generated corpus dir (skips generation)")
     args = ap.parse_args()
 
     if args.worker:
         worker(int(args.cores), args.corpus)
         return
 
-    from infoscience_imports_spark.session import get_spark
-    from infoscience_imports_spark.sources.synthetic import generate_web_pages, pipeline_input
+    if args.corpus:
+        corpus = args.corpus
+    else:
+        from infoscience_imports_spark.session import get_spark
+        from infoscience_imports_spark.sources.synthetic import generate_web_pages, pipeline_input
 
-    corpus = tempfile.mkdtemp(prefix="scale-corpus-")
-    spark = get_spark(app_name="scale-gen", master="local[32]")
-    # interleave planted classes across partitions and write ~2 MB files so
-    # byte-based scan splits carry even kernel CPU (see generate_web_pages)
-    gen_parts = max(32, args.pages // 512)
-    pipeline_input(
-        generate_web_pages(spark, args.pages, seed=42, partitions=gen_parts, interleave=True)
-    ).write.mode("overwrite").parquet(corpus)
-    spark.stop()
+        corpus = tempfile.mkdtemp(prefix="scale-corpus-")
+        spark = get_spark(app_name="scale-gen", master="local[32]")
+        # interleave planted classes across partitions and write ~2 MB files
+        # so byte-based scan splits carry even kernel CPU
+        gen_parts = max(32, args.pages // 512)
+        pipeline_input(
+            generate_web_pages(spark, args.pages, seed=42, partitions=gen_parts, interleave=True)
+        ).write.mode("overwrite").parquet(corpus)
+        spark.stop()
 
     core_list = [int(c) for c in args.cores.split(",")]
     attempts: dict[int, list[dict]] = {c: [] for c in core_list}
@@ -153,7 +157,7 @@ def main() -> None:
     ratio = hi["cores"] / lo["cores"]
     eff = (lo["wall_sec"] / hi["wall_sec"]) / ratio
     summary = {
-        "pages": args.pages,
+        "pages": lo.get("pages", args.pages),
         "runs": results,
         "speedup": round(lo["wall_sec"] / hi["wall_sec"], 2),
         "core_ratio": ratio,
@@ -164,12 +168,13 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## Scaling run: {args.pages} pages, cores {args.cores}\n\n"
-            "| cores | wall (s) | pages/sec | stages |\n|---|---|---|---|\n"
+            f"\n## Scaling run: {summary['pages']} pages, cores {args.cores}\n\n"
+            "| cores | wall (s) | pages/sec | host steal (core-s) | stages |\n|---|---|---|---|---|\n"
         )
         for r in results:
             f.write(
                 f"| {r['cores']} | {r['wall_sec']} | {r['pages_per_sec']} | "
+                f"{r.get('host_steal_coresec', 'n/a')} | "
                 f"`{json.dumps(r['stages'])}` |\n"
             )
         f.write(

@@ -137,11 +137,26 @@ def similar_pairs(
     pairs or admits nearly all pairs. For high thresholds (>= ~0.8) use
     :func:`similar_pairs_lsh`, the sub-quadratic path.
 
-    cosine(a,b) == dot(a,b)/(|a|*|b|) evaluated per pair so the result is
-    bit-identical to the SQL oracle.
+    Each (bi, bj) chunk is scored with ONE BLAS matmul inside an
+    ``applyInPandas`` kernel — vectors cross the Arrow boundary once per
+    chunk (O(n x n_blocks x dim)), not once per pair (O(n^2 x dim), which
+    dominated the previous pair-join form). Pairs the matmul puts at or
+    above ``threshold - 1e-9`` are then RE-SCORED with the sequential
+    left-to-right fold, so emitted sims stay bit-identical to the SQL
+    oracle's list_cosine (the matmul's FMA/blocked summation is only a
+    prefilter and cannot drop a qualifying pair).
     """
+    from collections.abc import Iterator  # noqa: F401  (doc parity)
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     spark = corpus.sparkSession
-    cos = _cosine_pandas_udf()
     blocks = (
         spark.range(n_blocks).select(F.col("id").alias("bi"))
         .crossJoin(spark.range(n_blocks).select(F.col("id").alias("bj")))
@@ -153,30 +168,59 @@ def similar_pairs(
         F.pmod(F.xxhash64(F.col(id_c)), F.lit(n_blocks)).alias("_blk"),
     )
     left = v.join(F.broadcast(blocks), v["_blk"] == blocks["bi"]).select(
-        "bi", "bj", F.col("_id").alias("_ida"), F.col("_v").alias("_va")
+        "bi", "bj", F.lit(0).alias("side"), "_id", "_v"
     )
     right = v.join(F.broadcast(blocks), v["_blk"] == blocks["bj"]).select(
-        F.col("bi").alias("bi2"), F.col("bj").alias("bj2"),
-        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+        "bi", "bj", F.lit(1).alias("side"), "_id", "_v"
     )
-    cand = (
-        left.join(
-            right,
-            on=[F.col("bi") == F.col("bi2"), F.col("bj") == F.col("bj2")],
+    chunks = left.unionByName(right)
+    out_schema = StructType(
+        [
+            StructField("id1", LongType(), False),
+            StructField("id2", LongType(), False),
+            StructField("sim", DoubleType(), False),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
+                {"id1": "int64", "id2": "int64", "sim": "float64"}
+            )
+        va = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        vb = np.stack(b["_v"].to_numpy()).astype(np.float64)
+        ia = a["_id"].to_numpy()
+        ib = b["_id"].to_numpy()
+        na = np.sqrt((va * va).cumsum(axis=1)[:, -1])
+        nb = np.sqrt((vb * vb).cumsum(axis=1)[:, -1])
+        sims = (va @ vb.T) / (na[:, None] * nb[None, :])
+        mask = sims >= threshold - 1e-9
+        if bi == bj:
+            mask &= ia[:, None] < ib[None, :]
+        else:
+            mask &= ia[:, None] != ib[None, :]
+        xs, ys = np.nonzero(mask)
+        o1, o2, osim = [], [], []
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            # sequential-order exact rescore (oracle bit-parity)
+            dot = (va[x] * vb[y]).cumsum()[-1]
+            s = dot / (na[x] * nb[y])
+            if s >= threshold:
+                i, j = int(ia[x]), int(ib[y])
+                o1.append(min(i, j))
+                o2.append(max(i, j))
+                osim.append(float(s))
+        return pd.DataFrame({"id1": o1, "id2": o2, "sim": osim}).astype(
+            {"id1": "int64", "id2": "int64", "sim": "float64"}
         )
-        # diagonal chunks see both orientations — keep one; off-diagonal
-        # chunks see each unordered pair exactly once (possibly id-reversed)
-        .filter((F.col("bi") != F.col("bj")) | (F.col("_ida") < F.col("_idb")))
-        .filter(F.col("_ida") != F.col("_idb"))
-    )
+
     return (
-        cand.withColumn("sim", cos(F.col("_va"), F.col("_vb")))
-        .filter(F.col("sim") >= F.lit(threshold))
-        .select(
-            F.least("_ida", "_idb").alias("id1"),
-            F.greatest("_ida", "_idb").alias("id2"),
-            F.round("sim", 6).alias("sim"),
-        )
+        chunks.groupBy("bi", "bj")
+        .applyInPandas(kernel, schema=out_schema)
+        .select("id1", "id2", F.round("sim", 6).alias("sim"))
     )
 
 
