@@ -636,6 +636,24 @@ def q_authors_explode_dedup(spark, sf_dir):
     )
 
 
+def q_names_fold_diacritics(spark, sf_dir):
+    """F5 diacritic fold, cross-engine checked: both engines construct the
+    SAME accented string from customer names (unicode-aware translate), then
+    Spark folds with the NFD+strip-combining Arrow kernel
+    (functions/text.py fold_diacritics_col) and DuckDB with strip_accents —
+    an independent-engine run of the same fold semantics (reference:
+    enricher.py name normalization / unidecode)."""
+    from infoscience_imports_spark.functions.text import fold_diacritics_col
+
+    cust = _t(spark, sf_dir, "customer")
+    accented = F.translate(F.col("c_name"), "aeiou", "áéíóü")
+    return cust.select(
+        "c_custkey",
+        accented.alias("accented"),
+        fold_diacritics_col(accented).alias("folded"),
+    )
+
+
 def q_upsert_customers(spark, sf_dir):
     """A12/S10 upsert pattern: two order batches merged with counter +
     COALESCE semantics (pipeline_db.py:513-539)."""
@@ -696,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "family_agg_orders": q_family_agg_orders,
         "authors_nested_exists": q_authors_nested_exists,
         "authors_explode_dedup": q_authors_explode_dedup,
+        "names_fold_diacritics": q_names_fold_diacritics,
         "upsert_customers": q_upsert_customers,
     }
 
@@ -1088,6 +1107,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n FROM (
               SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem)
             GROUP BY 1, 2
+        """,
+        "names_fold_diacritics": """
+            SELECT c_custkey,
+                   translate(c_name, 'aeiou', 'áéíóü') AS accented,
+                   strip_accents(translate(c_name, 'aeiou', 'áéíóü')) AS folded
+            FROM customer
         """,
         "upsert_customers": """
             WITH b1 AS (

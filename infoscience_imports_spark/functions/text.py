@@ -83,3 +83,40 @@ def normalize_text_col(text: Column) -> Column:
     s = F.regexp_replace(text, r"<[^>]*>", " ")
     s = F.regexp_replace(s, r"[^0-9A-Za-z]+", " ")
     return F.lower(F.trim(s))
+
+
+def fold_diacritics_py(s: str | None) -> str | None:
+    """NFD + strip combining marks (F5 — the reference's unidecode-style
+    author-name fold, ``data_pipeline/enricher.py`` name normalization).
+
+    Canonical (NFD) decomposition deliberately, NOT compatibility (NFKD):
+    NFKD also rewrites ligatures/compat forms (``ﬁ`` -> ``fi``), which
+    engine-side accent strippers (DuckDB ``strip_accents``, ICU foldings)
+    do not — NFD+strip matches them byte-for-byte, which is what the
+    cross-engine oracle checks.
+    """
+    if s is None:
+        return None
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s) if not unicodedata.combining(c)
+    )
+
+
+def fold_diacritics_col(col: Column) -> Column:
+    """Arrow-batched Spark twin of :func:`fold_diacritics_py`.
+
+    Spark has no built-in Unicode normalizer; a per-char ``translate`` map
+    cannot cover combining sequences, so this is one of the few places a
+    (vectorized) Python kernel is the right call. Byte-identical to the
+    Python oracle by construction — it calls it.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fold(s):
+        return s.map(fold_diacritics_py, na_action="ignore")
+
+    return fold(col)

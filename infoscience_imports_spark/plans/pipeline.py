@@ -200,6 +200,48 @@ class DedupPipeline:
         docs = extract_df.select("doc_id")
         return comp.attach_clusters(docs, assign).select("doc_id", "cluster_id")
 
+    # -- scan-split tuning ------------------------------------------------------
+    _STAGE_SCAN_INPUT = {
+        "signatures": "extract",
+        "buckets": "signatures",
+        "edges": "extract",  # dominant scan: rep_texts from the extract snapshot
+        "components": "edges",
+    }
+
+    def _tune_scan_splits(self, stage: str) -> None:
+        """Size ``maxPartitionBytes`` to ~4 scan splits per core for THIS
+        stage's dominant input snapshot.
+
+        The kernel-heavy stages read snapshots of very different sizes (raw
+        html vs extracted text vs narrow buckets); one session-wide split
+        size either starves the big scan or shreds the small one into
+        hundreds of tasks that each pay the ~100 ms Arrow worker handshake.
+        Local-path sizing only (object-store deployments fall back to the
+        session setting — on a cluster the equivalent knob is per-stage job
+        conf via ``spark.conf.set`` exactly as done here).
+        """
+        import os
+
+        src = self._STAGE_SCAN_INPUT.get(stage)
+        if src is None:
+            return
+        snap = os.path.join(
+            self.store._snap_dir(src, self.fingerprint(src)), "data"
+        )
+        if not os.path.isdir(snap):
+            return
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(snap)
+            for f in fs
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        split = min(128 << 20, max(1 << 20, total // (4 * par)))
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        self.spark.conf.set(
+            "spark.sql.files.openCostInBytes", str(min(split // 4, 1 << 20))
+        )
+
     # -- driver ---------------------------------------------------------------
     def run(
         self,
@@ -208,6 +250,8 @@ class DedupPipeline:
         resume: bool = True,
     ) -> PipelineResult:
         res = PipelineResult(run_id=self.store.run_id)
+        prev_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        prev_open = self.spark.conf.get("spark.sql.files.openCostInBytes", None)
         for stage in STAGES:
             fp = self.fingerprint(stage)
             res.fingerprints[stage] = fp
@@ -217,6 +261,7 @@ class DedupPipeline:
                 res.timings[stage] = 0.0
                 continue
             t0 = time.monotonic()
+            self._tune_scan_splits(stage)
             df, key = self._build_stage(stage, pages)
             info = self.store.write(stage, df, fp, key_col=key)
             for cached in self._stage_persists:
@@ -224,6 +269,10 @@ class DedupPipeline:
             self._stage_persists.clear()
             res.timings[stage] = time.monotonic() - t0
             res.rows[stage] = info.rows
+        if prev_split is not None:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        if prev_open is not None:
+            self.spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
         return res
 
     def _build_stage(self, stage: str, pages: DataFrame) -> tuple[DataFrame, str]:
