@@ -136,10 +136,19 @@ def connected_components(
     cur = _symmetrize(edges).localCheckpoint(eager=True)
     n_edges = cur.count()  # cheap: counts the checkpointed RDD
     if n_edges <= cfg.cc_local_max_edges:
-        assignments = _local_union_find(cur.toLocalIterator())
+        # Arrow collect in ONE parallel job — toLocalIterator would fetch the
+        # 2*shuffle_partitions partitions as sequential jobs, making this
+        # path *slower* at higher core counts (measured: components 2.6 s at
+        # 2 cores -> 4.8 s at 8 cores on a ~20k-edge graph). 2M edges ≈
+        # 32 MB of int64 pairs — same driver budget class as the gate.
+        import pandas as pd
+
+        pdf = cur.toPandas()
+        assignments = _local_union_find(zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()))
         if not assignments:
             return spark.createDataFrame([], "doc_id long, cluster_id long")
-        return spark.createDataFrame(assignments, "doc_id long, cluster_id long")
+        out = pd.DataFrame(assignments, columns=["doc_id", "cluster_id"])
+        return spark.createDataFrame(out.astype("int64"))
 
     # salt replication costs (n_salt x) on the min table — only worth it when
     # hubs can actually swamp a reducer

@@ -108,12 +108,15 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     return small_pairs.union(big_pairs).distinct()
 
 
-def simhash_candidate_pairs(
+def simhash_band_pairs(
     signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, n_bands: int = 4
 ) -> DataFrame:
-    """SimHash path: distinct (id1, id2) with Hamming(simhash) <= radius.
+    """Raw SimHash band candidates (id1, id2) — before the Hamming filter.
 
-    Exact within radius ``n_bands - 1`` by pigeonhole over 16-bit bands.
+    With 4 bands of 16 bits, any pair within Hamming radius 3 shares at
+    least one untouched band (pigeonhole), so the band-equality self-join
+    is a superset of the Hamming ball; :func:`hamming_edges` removes the
+    false positives.
     """
     w = 64 // n_bands
     mask = F.lit((1 << w) - 1)
@@ -133,15 +136,57 @@ def simhash_candidate_pairs(
     )
     # same capped pairing as the MinHash path (identical boilerplate titles
     # form mega-buckets; star pairing keeps them connected without O(c^2))
-    pairs = candidate_pairs(sb, cfg)
+    return candidate_pairs(sb, cfg)
+
+
+def hamming_edges(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    gated: bool = False,
+) -> DataFrame:
+    """(id1, id2) band candidates -> (id1, id2, hamming) within the radius.
+
+    ``gated=True`` marks the pair list as measured-small (the caller counted
+    it under ``cfg.broadcast_pair_limit``): both sim lookups then stream the
+    signature scan through broadcast hash joins with zero shuffles. The
+    second hint is safe under the same gate because the joined frame is
+    never larger than the pair list it extends. Large pair lists fall back
+    to shuffle joins.
+    """
     sims = signatures.select("doc_id", "simhash64")
+    if gated:
+        pairs = pairs.hint("broadcast")
+    with_s1 = pairs.join(
+        sims.select(F.col("doc_id").alias("id1"), F.col("simhash64").alias("s1")), on="id1"
+    )
+    if gated:
+        with_s1 = with_s1.hint("broadcast")
     return (
-        pairs.join(sims.select(F.col("doc_id").alias("id1"), F.col("simhash64").alias("s1")), on="id1")
+        with_s1
         .join(sims.select(F.col("doc_id").alias("id2"), F.col("simhash64").alias("s2")), on="id2")
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
         .filter(F.col("hamming") <= cfg.simhash_hamming_max)
         .select("id1", "id2", "hamming")
     )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, n_bands: int = 4
+) -> DataFrame:
+    """SimHash path: distinct (id1, id2) with Hamming(simhash) <= radius.
+
+    Exact within radius ``n_bands - 1`` by pigeonhole over 16-bit bands.
+    Standalone form (queries/tests): gates its own pair list; the pipeline
+    gates one unioned candidate frame instead and calls
+    :func:`hamming_edges` directly.
+    """
+    from .verify import gate_broadcast_info
+
+    pairs, gated = gate_broadcast_info(
+        simhash_band_pairs(signatures, cfg, n_bands), cfg.broadcast_pair_limit
+    )
+    return hamming_edges(pairs, signatures, cfg, gated=gated)
 
 
 def simhash_edges(signatures, cfg: DedupConfig = DEFAULT_CONFIG):

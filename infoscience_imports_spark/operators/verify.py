@@ -37,17 +37,33 @@ def gate_broadcast(pairs: DataFrame, limit_rows: int) -> DataFrame:
     The persist also de-duplicates work: callers reference the pair frame in
     two join branches, which would otherwise re-run candidate generation.
     """
+    frame, _small = gate_broadcast_info(pairs, limit_rows)
+    return frame
+
+
+def gate_broadcast_info(pairs: DataFrame, limit_rows: int) -> tuple[DataFrame, bool]:
+    """:func:`gate_broadcast` plus the gate's decision, for callers that
+    chain further joins under the same size bound."""
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     n = pairs.count()
-    return pairs.hint("broadcast") if n <= limit_rows else pairs
+    small = n <= limit_rows
+    return (pairs.hint("broadcast") if small else pairs), small
 
 
 def exact_edges(signatures: DataFrame) -> DataFrame:
-    """Star edges linking each doc to the min doc_id of its digest group."""
-    w = Window.partitionBy("digest")
-    rep = signatures.select("doc_id", "digest").withColumn(
-        "rep", F.min("doc_id").over(w)
-    )
+    """Star edges linking each doc to the min doc_id of its digest group.
+
+    Fast path: the signatures stage stores ``rep_id`` (digest-group min), so
+    this is a shuffle-free filter/select. The window fallback covers frames
+    that don't carry the column (direct operator use in tests).
+    """
+    if "rep_id" in signatures.columns:
+        rep = signatures.select("doc_id", F.col("rep_id").alias("rep"))
+    else:
+        w = Window.partitionBy("digest")
+        rep = signatures.select("doc_id", "digest").withColumn(
+            "rep", F.min("doc_id").over(w)
+        )
     return (
         rep.filter(F.col("doc_id") != F.col("rep"))
         .select(
@@ -143,10 +159,24 @@ def jaccard_verify_text(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             memo: dict[str, int] = {}
+            sh_cache: dict[int, object] = {}  # doc-level: hubs shingled once/batch
+
+            def shingles_of(doc_id, text):
+                key = int(doc_id)
+                got = sh_cache.get(key)
+                if got is None:
+                    got = shingle_hashes(
+                        token_hashes(text.split() if isinstance(text, str) else [], memo), k
+                    )
+                    sh_cache[key] = got
+                return got
+
             jac = np.zeros(len(pdf), dtype=np.float64)
-            for i, (t1, t2) in enumerate(zip(pdf["_t1"], pdf["_t2"])):
-                s1 = shingle_hashes(token_hashes(t1.split() if isinstance(t1, str) else [], memo), k)
-                s2 = shingle_hashes(token_hashes(t2.split() if isinstance(t2, str) else [], memo), k)
+            for i, (i1, i2, t1, t2) in enumerate(
+                zip(pdf["id1"], pdf["id2"], pdf["_t1"], pdf["_t2"])
+            ):
+                s1 = shingles_of(i1, t1)
+                s2 = shingles_of(i2, t2)
                 if s1.size == 0 and s2.size == 0:
                     jac[i] = 0.0
                     continue
@@ -165,6 +195,7 @@ def verify_tagged_pairs(
     tagged_pairs: DataFrame,
     texts: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    pregated: bool = False,
 ) -> DataFrame:
     """One verify pass for BOTH fuzzy rules over a union of tagged candidates.
 
@@ -194,8 +225,16 @@ def verify_tagged_pairs(
     from ..functions.shingles import shingle_hashes, token_hashes
 
     t = texts.select("doc_id", "text_norm")
+    # pregated=True: the caller already persisted/counted/hinted the pair
+    # frame (the pipeline gates ONE unioned candidate frame for all rules —
+    # one count job instead of one per consumer)
+    pairs = (
+        tagged_pairs.select("id1", "id2", "rule")
+        if pregated
+        else gate_broadcast(tagged_pairs.select("id1", "id2", "rule"), cfg.broadcast_pair_limit)
+    )
     joined = (
-        gate_broadcast(tagged_pairs.select("id1", "id2", "rule"), cfg.broadcast_pair_limit)
+        pairs
         .join(t.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("_t1")), on="id1")
         .join(t.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("_t2")), on="id2")
     )
@@ -214,16 +253,27 @@ def verify_tagged_pairs(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             memo: dict[str, int] = {}
+            # doc-level shingle cache: star pairing makes hub docs appear in
+            # many pairs of one batch — shingle each doc once per batch, not
+            # once per pair
+            sh_cache: dict[int, object] = {}
+
+            def shingles_of(doc_id, text):
+                key = int(doc_id)
+                got = sh_cache.get(key)
+                if got is None:
+                    got = shingle_hashes(
+                        token_hashes(text.split() if isinstance(text, str) else [], memo), k
+                    )
+                    sh_cache[key] = got
+                return got
+
             o1, o2, oj, orl = [], [], [], []
             for i1, i2, rule, t1, t2 in zip(
                 pdf["id1"], pdf["id2"], pdf["rule"], pdf["_t1"], pdf["_t2"]
             ):
-                s1 = shingle_hashes(
-                    token_hashes(t1.split() if isinstance(t1, str) else [], memo), k
-                )
-                s2 = shingle_hashes(
-                    token_hashes(t2.split() if isinstance(t2, str) else [], memo), k
-                )
+                s1 = shingles_of(i1, t1)
+                s2 = shingles_of(i2, t2)
                 if rule == "minhash":
                     if s1.size == 0 and s2.size == 0:
                         continue

@@ -143,8 +143,29 @@ class DedupPipeline:
         # containment recompute them from text_norm in Arrow kernels — CPU
         # that scales with executors, instead of disk scans that don't
         sg = sigs.compute_signatures(extract_df, self.cfg, include_shingles=False)
-        w = Window.partitionBy("digest").orderBy("doc_id")
-        return sg.withColumn("is_rep", F.row_number().over(w) == 1)
+        # rep_id = digest-group min doc_id, stored so exact_edges is a pure
+        # filter/select downstream. Two physical strategies:
+        #   small corpora (measured row count from the extract commit, free):
+        #     recompute (digest, rep_id) from the extract snapshot — digest
+        #     is the same JVM xxhash64(text_norm) the kernel input uses — and
+        #     BROADCAST-join it back, so the wide signature rows flow from
+        #     the Arrow kernel straight into the snapshot write with no
+        #     shuffle/sort at all;
+        #   web scale: unordered window (min needs no per-partition ordering,
+        #     but WindowExec still shuffles the full signature rows on
+        #     digest — unavoidable without a broadcastable rep table).
+        n_docs = self.store.rows("extract", self.fingerprint("extract"))
+        if n_docs is not None and n_docs <= self.cfg.broadcast_pair_limit:
+            mins = (
+                extract_df.select(F.xxhash64("text_norm").alias("digest"), "doc_id")
+                .groupBy("digest")
+                .agg(F.min("doc_id").alias("rep_id"))
+            )
+            sg = sg.join(F.broadcast(mins), on="digest")
+        else:
+            w = Window.partitionBy("digest")
+            sg = sg.withColumn("rep_id", F.min("doc_id").over(w))
+        return sg.withColumn("is_rep", F.col("doc_id") == F.col("rep_id"))
 
     @staticmethod
     def _representatives(signatures: DataFrame) -> DataFrame:
@@ -172,9 +193,6 @@ class DedupPipeline:
         )
         self._stage_persists.append(rep_texts)
         exact = verify.exact_edges(signatures)
-        simhash = lsh.simhash_edges(reps, self.cfg)
-        # both fuzzy rules verify in ONE kernel pass over ONE pair of text
-        # joins (operators/verify.py verify_tagged_pairs)
         minhash_pairs = lsh.candidate_pairs(buckets, self.cfg).select(
             "id1", "id2", F.lit("minhash").alias("rule")
         )
@@ -188,8 +206,30 @@ class DedupPipeline:
             F.col("big_id").alias("id2"),
             F.lit("contain").alias("rule"),
         )
-        fuzzy = verify.verify_tagged_pairs(
-            minhash_pairs.unionByName(contain_cand), rep_texts, self.cfg
+        sim_pairs = lsh.simhash_band_pairs(reps, self.cfg).select(
+            "id1", "id2", F.lit("simhash").alias("rule")
+        )
+        # ONE gated candidate frame for all three fuzzy rules: a single
+        # persist+count job evaluates the minhash/containment/simhash
+        # candidate subtrees concurrently (independent stages of one job fill
+        # idle cores), where per-rule gates would chain three serial jobs.
+        cands = minhash_pairs.unionByName(contain_cand).unionByName(sim_pairs).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        small = cands.count() <= self.cfg.broadcast_pair_limit
+        self._stage_persists.append(cands)
+        fz_pairs = cands.filter(F.col("rule") != "simhash")
+        sh_pairs = cands.filter(F.col("rule") == "simhash").select("id1", "id2")
+        if small:
+            fz_pairs = fz_pairs.hint("broadcast")
+        # both fuzzy rules verify in ONE kernel pass over ONE pair of text
+        # joins (operators/verify.py verify_tagged_pairs)
+        fuzzy = verify.verify_tagged_pairs(fz_pairs, rep_texts, self.cfg, pregated=True)
+        simhash = lsh.hamming_edges(sh_pairs, reps, self.cfg, gated=small).select(
+            "id1",
+            "id2",
+            (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("jaccard"),
+            F.lit("simhash").alias("rule"),
         )
         return verify.combine_edges(exact, fuzzy, simhash)
 
@@ -222,6 +262,8 @@ class DedupPipeline:
         """
         import os
 
+        if os.environ.get("SPARK_GRAFT_NO_STAGE_TUNE"):
+            return
         src = self._STAGE_SCAN_INPUT.get(stage)
         if src is None:
             return
