@@ -91,6 +91,34 @@ def test_simhash_band_pigeonhole():
         assert any(x == y for x, y in zip(b1, b2))
 
 
+def test_simhash_block_combination_pigeonhole():
+    """r flips damage <= r of the r+3 blocks, so >= 3 blocks stay intact and
+    at least one 3-combination of block values matches exactly — the
+    invariant behind lsh.simhash_band_pairs' Manku-style tables."""
+    from itertools import combinations
+
+    from infoscience_imports_spark.operators.lsh import simhash_blocks
+
+    rng = _rng("blocks", 7)
+    for radius in (1, 2, 3, 4):
+        blocks = simhash_blocks(radius + 3)
+        assert sum(w for _off, w in blocks) == 64
+        for _ in range(100):
+            fp = rng.getrandbits(64)
+            flipped = fp
+            for _ in range(radius):
+                flipped ^= 1 << rng.randrange(64)
+
+            def vals(x):
+                return [(x >> off) & ((1 << w) - 1) for off, w in blocks]
+
+            v1, v2 = vals(fp), vals(flipped)
+            assert any(
+                all(v1[i] == v2[i] for i in combo)
+                for combo in combinations(range(len(blocks)), 3)
+            )
+
+
 def test_empty_doc_signature_is_sentinel():
     a, b = perm_params(CFG)
     sig = minhash_signature(np.empty(0, dtype=np.uint64), a, b)
