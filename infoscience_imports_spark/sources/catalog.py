@@ -113,6 +113,16 @@ class CheckpointStore:
 
     def _append_log(self, stage: str, entry: dict) -> None:
         entries = self.snapshots(stage)
+        # Re-committing a fingerprint replaces the snapshot dir in place, so
+        # any older log entry with the same fingerprint now points at NEW
+        # data. Mark those entries expired: time travel to the stale id fails
+        # explicitly instead of silently returning the new rows (the "old
+        # snapshots stay readable until expire_snapshots" contract only holds
+        # for snapshots whose data dirs still exist).
+        for e in entries:
+            if e["fingerprint"] == entry["fingerprint"] and not e.get("expired"):
+                e["expired"] = True
+                e["superseded_by"] = entry["snapshot_id"]
         entries.append(entry)
         tmp = self._log_file(stage) + ".tmp"
         with open(tmp, "w") as f:
@@ -259,13 +269,24 @@ class CheckpointStore:
     def read_snapshot(self, stage: str, snapshot_id: int) -> DataFrame:
         for e in self.snapshots(stage):
             if e["snapshot_id"] == snapshot_id:
+                if e.get("expired"):
+                    raise FileNotFoundError(
+                        f"stage {stage!r} snapshot {snapshot_id} expired"
+                        + (
+                            f" (superseded by {e['superseded_by']})"
+                            if "superseded_by" in e
+                            else ""
+                        )
+                    )
                 return self.spark.read.parquet(os.path.join(e["path"], "data"))
         raise FileNotFoundError(f"stage {stage!r} has no snapshot {snapshot_id}")
 
     def read_as_of(self, stage: str, timestamp_iso: str) -> DataFrame:
-        """Latest snapshot committed at or before ``timestamp_iso`` (UTC ISO)."""
+        """Latest live snapshot committed at or before ``timestamp_iso``."""
         eligible = [
-            e for e in self.snapshots(stage) if e["committed_at"] <= timestamp_iso
+            e
+            for e in self.snapshots(stage)
+            if e["committed_at"] <= timestamp_iso and not e.get("expired")
         ]
         if not eligible:
             raise FileNotFoundError(
@@ -436,10 +457,22 @@ class IcebergTableStore:
         source.createOrReplaceTempView("_merge_src")
         cols = [c for c in source.columns if c != key_col]
         sets = ", ".join(f"t.{c} = COALESCE(s.{c}, t.{c})" for c in cols)
+        # explicit INSERT column list (not INSERT *): the target carries the
+        # counter columns the tested CheckpointStore contract guarantees
+        # (seen_count=1, first_seen/last_seen stamped on insert) which the
+        # source frame does not — INSERT * would fail or diverge against them
+        ins_cols = ", ".join(
+            [key_col] + cols + ["seen_count", "first_seen", "last_seen"]
+        )
+        ins_vals = ", ".join(
+            [f"s.{key_col}"]
+            + [f"s.{c}" for c in cols]
+            + ["1", "current_timestamp()", "current_timestamp()"]
+        )
         self.spark.sql(
             f"MERGE INTO {self._table(stage)} t USING _merge_src s "
             f"ON t.{key_col} = s.{key_col} "
             f"WHEN MATCHED THEN UPDATE SET {sets}, "
             f"t.seen_count = t.seen_count + 1, t.last_seen = current_timestamp() "
-            f"WHEN NOT MATCHED THEN INSERT *"
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )

@@ -58,47 +58,91 @@ class IncrementalDedup:
             "state_bucket"
         )
 
+    # -- legacy state migration ------------------------------------------------
+    def _legacy_flat_files(self) -> list[str]:
+        """Flat ``*.parquet`` files written by the pre-partitioned layout."""
+        if not os.path.isdir(self.sig_dir):
+            return []
+        return sorted(
+            os.path.join(self.sig_dir, f)
+            for f in os.listdir(self.sig_dir)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(self.sig_dir, f))
+        )
+
+    def _migrate_legacy_state(self) -> None:
+        """One-time rewrite of flat (unpartitioned) state into bucket dirs.
+
+        A state dir written before the hash-bucket layout holds bare
+        ``part-*.parquet`` files; treating it as empty would silently
+        re-admit every known digest. Rewrite those rows partitioned, then
+        drop the flat files. A crash between write and delete re-migrates on
+        the next batch — digests get duplicated in state, which the
+        anti-join semantics tolerate (the digest SET is unchanged).
+        """
+        flat = self._legacy_flat_files()
+        if not flat:
+            return
+        legacy = self.spark.read.parquet(*flat)
+        if "state_bucket" in legacy.columns:
+            legacy = legacy.drop("state_bucket")
+        legacy.withColumn("state_bucket", self._bucket_col()).write.mode(
+            "append"
+        ).partitionBy("state_bucket").parquet(self.sig_dir)
+        for p in flat:
+            os.remove(p)
+
     # -- batch kernel (also used by foreachBatch) ------------------------------
     def process_batch(self, pages: DataFrame, batch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
+        self._migrate_legacy_state()
         ext = pages.select(
             F.xxhash64("url").alias("doc_id"),
             normalize_text_col(extract_text_col(F.col("html"))).alias("text_norm"),
         )
-        sg = sigs.compute_signatures(ext, self.cfg).withColumn(
-            "state_bucket", self._bucket_col()
+        # persisted: the touched-buckets collect + the two writes below would
+        # otherwise each recompute the full signature kernel pass
+        sg = (
+            sigs.compute_signatures(ext, self.cfg)
+            .withColumn("state_bucket", self._bucket_col())
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        has_state = os.path.isdir(self.sig_dir) and any(
-            d.startswith("state_bucket=") for d in os.listdir(self.sig_dir)
-        )
-        if has_state:
-            # tiny driver list (≤ n_state_buckets ints) -> partition pruning:
-            # only the state partitions this batch can collide with are read
-            touched = [
-                r[0] for r in sg.select("state_bucket").distinct().collect()
-            ]
-            known = (
-                self.spark.read.parquet(self.sig_dir)
-                .filter(F.col("state_bucket").isin(touched))
-                .select("digest")
+        try:
+            has_state = os.path.isdir(self.sig_dir) and any(
+                d.startswith("state_bucket=") for d in os.listdir(self.sig_dir)
             )
-            fresh = sg.join(known, on="digest", how="left_anti")
-        else:
-            fresh = sg
-        # within-batch exact dedup: keep min doc_id per digest
-        from pyspark.sql import Window
+            if has_state:
+                # tiny driver list (≤ n_state_buckets ints) -> partition
+                # pruning: only the state partitions this batch can collide
+                # with are read
+                touched = [
+                    r[0] for r in sg.select("state_bucket").distinct().collect()
+                ]
+                known = (
+                    self.spark.read.parquet(self.sig_dir)
+                    .filter(F.col("state_bucket").isin(touched))
+                    .select("digest")
+                )
+                fresh = sg.join(known, on="digest", how="left_anti")
+            else:
+                fresh = sg
+            # within-batch exact dedup: keep min doc_id per digest
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("digest").orderBy("doc_id")
-        fresh_unique = (
-            fresh.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        fresh_unique.write.mode("append").partitionBy("state_bucket").parquet(
-            self.sig_dir
-        )
-        fresh_unique.select("doc_id", "digest").withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(self.new_dir)
+            w = Window.partitionBy("digest").orderBy("doc_id")
+            fresh_unique = (
+                fresh.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            fresh_unique.write.mode("append").partitionBy("state_bucket").parquet(
+                self.sig_dir
+            )
+            fresh_unique.select("doc_id", "digest").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(self.new_dir)
+        finally:
+            sg.unpersist()
 
     # -- streaming driver -------------------------------------------------------
     def start(self, input_dir: str, schema, trigger_available_now: bool = True):

@@ -102,6 +102,33 @@ def test_expire_snapshots_keeps_latest(spark):
     shutil.rmtree(wh)
 
 
+def test_recommit_fingerprint_expires_stale_snapshot_ids(spark):
+    """Overwriting a fingerprint (resume=False rerun) must not let earlier
+    snapshot ids silently time-travel to the NEW data: superseded entries are
+    marked expired and read_snapshot on them fails explicitly."""
+    wh = tempfile.mkdtemp(prefix="wh-ck8-")
+    store = CheckpointStore(spark, wh)
+    store.write("tbl", spark.createDataFrame([(1, "old")], "id long, v string"), "fpA", key_col="id")
+    store.write("tbl", spark.range(5), "fpB", key_col="id")
+    # re-commit fpA with different data — snapshot 1's dir is replaced
+    store.write("tbl", spark.createDataFrame([(9, "new")], "id long, v string"), "fpA", key_col="id")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        store.read_snapshot("tbl", 1)
+    # the re-committed snapshot (id 3) reads the new data; fpB untouched
+    assert [r["v"] for r in store.read_snapshot("tbl", 3).collect()] == ["new"]
+    assert store.read_snapshot("tbl", 2).count() == 5
+    # read_as_of skips the expired entry instead of resolving to it: as of
+    # snapshot 1's commit time nothing live exists (explicit failure), as of
+    # snapshot 2's commit time the live snapshot 2 wins over expired 1
+    log = store.snapshots("tbl")
+    with _pytest.raises(FileNotFoundError):
+        store.read_as_of("tbl", log[0]["committed_at"])
+    assert store.read_as_of("tbl", log[1]["committed_at"]).count() == 5
+    shutil.rmtree(wh)
+
+
 def test_merge_into_upsert_and_schema_evolution(spark):
     """MERGE INTO: matched rows coalesce + bump seen_count, unmatched insert;
     a new source column is added (old rows NULL), absent columns preserved."""

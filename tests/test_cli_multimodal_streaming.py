@@ -117,6 +117,41 @@ def test_incremental_streaming_dedup(spark):
     shutil.rmtree(in_dir)
 
 
+def test_incremental_legacy_flat_state_migrates(spark):
+    """A state dir written by the pre-partitioned (flat parquet) layout must
+    not be treated as empty: the first batch migrates it to bucket dirs and
+    known digests stay deduplicated."""
+    from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
+    from infoscience_imports_spark.operators import signatures as sigs
+
+    state = tempfile.mkdtemp(prefix="stream-legacy-")
+    pages = pipeline_input(generate_web_pages(spark, 60, seed=7))
+    cfg = DedupConfig(shuffle_partitions=8)
+    inc = IncrementalDedup(spark, state, cfg)
+
+    # simulate the old layout: signatures written FLAT (no state_bucket dirs)
+    ext = pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        normalize_text_col(extract_text_col(F.col("html"))).alias("text_norm"),
+    )
+    legacy = sigs.compute_signatures(ext, cfg)
+    legacy.write.mode("overwrite").parquet(inc.sig_dir)
+    assert inc._legacy_flat_files()
+
+    # re-process the SAME pages as batch 0: every digest is already known,
+    # so nothing may land in new_unique
+    inc.process_batch(pages, batch_id=0)
+    assert not inc._legacy_flat_files()  # flat files rewritten + removed
+    assert any(d.startswith("state_bucket=") for d in os.listdir(inc.sig_dir))
+    assert not os.path.isdir(inc.new_dir) or spark.read.parquet(inc.new_dir).count() == 0
+    # a genuinely new batch still gets admitted after migration
+    pages2 = pipeline_input(generate_web_pages(spark, 30, seed=99))
+    inc.process_batch(pages2, batch_id=1)
+    fresh = spark.read.parquet(inc.new_dir).filter(F.col("batch_id") == 1).count()
+    assert fresh > 0
+    shutil.rmtree(state)
+
+
 def test_watermark_dedup_stream(spark):
     from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
     from infoscience_imports_spark.streaming.incremental import watermark_dedup_stream
