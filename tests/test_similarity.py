@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from infoscience_imports_spark.operators.similarity import (
+    _auto_n_blocks,
     ann_signlsh_topk,
     cosine_topk,
     probe_masks,
@@ -99,6 +100,43 @@ def test_multiprobe_beats_single_probe(spark, planted):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0
     assert r2 >= 0.8, (r0, r2)
+
+
+def test_auto_n_blocks_bounds_chunk_memory():
+    """Blocks grow with the corpus so one chunk's float64 vectors fit the
+    budget (round-2 verdict #2: constant n_blocks OOMs at web scale)."""
+    # small corpora keep the measured-good floor
+    assert _auto_n_blocks(500, 64, 256 << 20) == 8
+    # web-scale corpora: 10^8 x 768-dim needs 2*1e8*768*8 B spread so each
+    # chunk holds <= budget
+    budget = 256 << 20
+    nb = _auto_n_blocks(100_000_000, 768, budget)
+    assert nb > 8
+    per_chunk = 2 * 100_000_000 / nb * 768 * 8
+    assert per_chunk <= budget
+    # monotone in corpus size, inverse in budget
+    assert _auto_n_blocks(10**9, 768, budget) > nb
+    assert _auto_n_blocks(100_000_000, 768, budget * 4) <= nb
+
+
+def test_auto_blocks_and_tiling_match_fixed_blocks(spark, planted):
+    """A tiny chunk budget forces many more blocks AND a tiny sims tile
+    forces the in-kernel b-side loop; output must equal the fixed-8 path."""
+    df, sims = planted
+    fixed = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in similar_pairs(df, threshold=0.9, n_blocks=8).collect()
+    }
+    auto = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in similar_pairs(
+            df, threshold=0.9, chunk_budget_bytes=8 << 10, sims_tile_bytes=1 << 10
+        ).collect()
+    }
+    # 180 vecs x 32 dim: 2*180*32*8/8192 = 11.25 -> 12 blocks > default floor
+    assert _auto_n_blocks(N_BASE + N_DUP, DIM, 8 << 10) > 8
+    assert auto == fixed
+    assert {(i, j) for i, j, _ in auto} == _true_pairs(sims, 0.9)
 
 
 def test_probe_masks():
