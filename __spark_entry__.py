@@ -75,33 +75,107 @@ def _doc_shingles(spark, sf_dir):
     ).filter(F.size("sh") > 0)
 
 
-def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
-    """Inverted-index (not cross-join) exact 5-gram Jaccard pairs.
+def _doc_shingles_hashed(spark, sf_dir):
+    """(doc_id, shs: sorted-unique int64 shingle hashes, n) — Arrow kernel.
 
-    The shingle frame is cached (it feeds three plan branches and the
-    shingle construction is an interpreted higher-order expression), and the
-    posting join keys are xxhash64 of the shingle strings — same counts,
-    4x fewer shuffle bytes."""
-    sh = _doc_shingles(spark, sf_dir).cache()
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    postings = sh.select("doc_id", F.explode("sh").alias("s0")).select(
-        "doc_id", F.xxhash64("s0").alias("s")
+    Same doc set and set sizes as :func:`_doc_shingles` (docs with >= 5
+    normalized tokens; distinct 5-grams), but built with the frozen shingle
+    hash kernels (functions/shingles.py) inside ``mapInPandas``: the
+    interpreted higher-order Column form (regex + split + sequence + slice +
+    concat per row) measured ~12 s per evaluation over 5k docs ON ONE CORE
+    (one parquet file = one scan split = one task), while the kernel runs on
+    all cores and hashes each unique token once per batch. Downstream
+    Jaccard on the hash SETS equals Jaccard on the string sets (injective
+    modulo 2^-63 collisions — same accepted risk as the posting join keys).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    from infoscience_imports_spark.functions.shingles import shingle_hashes, token_hashes
+    from infoscience_imports_spark.functions.text import normalize_text_py
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # one small parquet file would otherwise pin the kernel to one task
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("shs", ArrayType(LongType(), False), False),
+            StructField("n", IntegerType(), False),
+        ]
     )
-    # postings is O(corpus x shingles): pin the self-join to shuffle-hash —
-    # Catalyst's post-explode size estimate otherwise flips it to a
-    # driver-built broadcast of the whole posting table (same class of
-    # anti-scaling bug as the LSH bucket self-join, operators/lsh.py)
-    a = postings.alias("a").hint("shuffle_hash")
-    b = postings.alias("b").hint("shuffle_hash")
-    inter = (
-        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col("a.doc_id") < F.col("b.doc_id")])
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("c"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, arrs, ns = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = normalize_text_py(text if isinstance(text, str) else "").split()
+                if len(toks) < 5:
+                    continue  # oracle contract: <5-token docs emit no 5-grams
+                sh = shingle_hashes(token_hashes(toks, memo), 5)
+                ids.append(int(doc_id))
+                arrs.append(sh.astype(np.int64))
+                ns.append(int(sh.size))
+            yield pd.DataFrame({"doc_id": ids, "shs": arrs, "n": ns})
+
+    return docs.mapInPandas(kernel, schema=schema)
+
+
+def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
+    """Exact 5-gram Jaccard pairs via prefix-filtered AllPairs (Bayardo,
+    Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07 — public
+    literature). Output identical to the naive inverted-index join; the
+    candidate join touches only each doc's PREFIX postings.
+
+    Why: the naive posting self-join emits O(c^2) rows for a shingle shared
+    by c docs (round-2 verdict #3 — boilerplate shingles made this the most
+    expensive bench query, and a certain quadratic corner at web scale).
+    Prefix filtering is the *exact* fix: order every doc's shingles by one
+    global canonical order (document frequency asc, hash asc — hot
+    boilerplate shingles land LAST) and index only the first
+    n - ceil(t*n) + 1 of them. J(A,B) >= t implies |A∩B| >= ceil(t*max) >=
+    ceil(t*n_A), and two sets with that much overlap must collide inside
+    these prefixes (pigeonhole on the shared order), so the prefix join is a
+    superset of the answer; a length filter (min >= t*max) prunes further,
+    and the exact Jaccard on the full hash arrays (JVM array_intersect)
+    removes false candidates."""
+    hs = _doc_shingles_hashed(spark, sf_dir).cache()
+    postings = hs.select("doc_id", "n", F.explode("shs").alias("s"))
+    freq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    pref = (
+        postings.join(freq.hint("shuffle_hash"), on="s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "n", "s")
     )
+    # prefix postings are still O(corpus): pin shuffle-hash (a size-estimate
+    # flip to broadcast would build a corpus-sized hash relation — same
+    # anti-scaling class as the LSH bucket self-join, operators/lsh.py)
+    a = pref.alias("a").hint("shuffle_hash")
+    b = pref.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.least("a.n", "b.n") >= F.lit(threshold) * F.greatest("a.n", "b.n"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    h1 = hs.select(F.col("doc_id").alias("id1"), F.col("shs").alias("sh1"), F.col("n").alias("n1"))
+    h2 = hs.select(F.col("doc_id").alias("id2"), F.col("shs").alias("sh2"), F.col("n").alias("n2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
-        .withColumn("jaccard", F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")))
+        cand.join(h1, on="id1")
+        .join(h2, on="id2")
+        .withColumn("jaccard", inter / (F.col("n1") + F.col("n2") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
