@@ -728,6 +728,27 @@ def q_names_fold_diacritics(spark, sf_dir):
     )
 
 
+def q_orders_partkey_overlap(spark, sf_dir):
+    """P5: literal id-list array-containment predicate. The reference keeps
+    records whose affiliation-ID list intersects a configured institution
+    list (enricher.py:120-144; id list config.py:57-80); here per-order
+    part-key arrays are kept when ``arrays_overlap`` with a literal hot
+    list. The VALUES-side is a pure literal array (no join, no shuffle) and
+    the predicate is JVM-side."""
+    hot = [1, 5, 22, 77, 123]
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("pks")
+    )
+    return per_order.filter(
+        F.arrays_overlap("pks", F.array(*[F.lit(x) for x in hot]))
+    ).select(
+        "l_orderkey",
+        F.size("pks").alias("n_parts"),
+        F.concat_ws(",", F.transform("pks", lambda x: x.cast("string"))).alias("part_keys"),
+    )
+
+
 def q_upsert_customers(spark, sf_dir):
     """A12/S10 upsert pattern: two order batches merged with counter +
     COALESCE semantics (pipeline_db.py:513-539)."""
@@ -788,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "family_agg_orders": q_family_agg_orders,
         "authors_nested_exists": q_authors_nested_exists,
         "authors_explode_dedup": q_authors_explode_dedup,
+        "orders_partkey_overlap": q_orders_partkey_overlap,
         "names_fold_diacritics": q_names_fold_diacritics,
         "upsert_customers": q_upsert_customers,
     }
@@ -1181,6 +1203,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n FROM (
               SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem)
             GROUP BY 1, 2
+        """,
+        "orders_partkey_overlap": """
+            SELECT l_orderkey,
+                   CAST(len(pks) AS INT) AS n_parts,
+                   array_to_string(pks, ',') AS part_keys
+            FROM (SELECT l_orderkey,
+                         list_sort(list_distinct(list(l_partkey))) AS pks
+                  FROM lineitem GROUP BY l_orderkey)
+            WHERE list_has_any(pks, [1, 5, 22, 77, 123])
         """,
         "names_fold_diacritics": """
             SELECT c_custkey,
