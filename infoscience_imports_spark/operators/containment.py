@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..functions.shingles import shingle_hashes, token_hashes
+from ..functions.substring import contains_substring
 from .verify import gate_broadcast
 
 _POSTINGS_SCHEMA = StructType(
@@ -242,7 +243,8 @@ def containment_edges(
                 sb = shingle_hashes(token_hashes(tb.split(), memo), k)
                 inter = np.intersect1d(ss, sb, assume_unique=True).size
                 containment = inter / ss.size
-                if containment >= thr and ts in tb:
+                # Rabin-Karp exact check — bounded worst case (verify.py twin)
+                if containment >= thr and contains_substring(ts, tb):
                     out_i1.append(min(int(sid), int(bid)))
                     out_i2.append(max(int(sid), int(bid)))
                     out_c.append(float(containment))

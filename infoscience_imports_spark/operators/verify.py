@@ -223,6 +223,7 @@ def verify_tagged_pairs(
     )
 
     from ..functions.shingles import shingle_hashes, token_hashes
+    from ..functions.substring import contains_substring
 
     t = texts.select("doc_id", "text_norm")
     # pregated=True: the caller already persisted/counted/hinted the pair
@@ -289,7 +290,9 @@ def verify_tagged_pairs(
                         continue
                     inter = np.intersect1d(s1, s2, assume_unique=True).size
                     containment = inter / s1.size
-                    if containment >= con_thr and t1 in t2:
+                    # Rabin-Karp: bounded worst case on self-similar texts
+                    # (identical output to `t1 in t2`, property-tested)
+                    if containment >= con_thr and contains_substring(t1, t2):
                         o1.append(min(int(i1), int(i2)))
                         o2.append(max(int(i1), int(i2)))
                         oj.append(float(containment))

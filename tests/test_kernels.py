@@ -123,3 +123,53 @@ def test_empty_doc_signature_is_sentinel():
     a, b = perm_params(CFG)
     sig = minhash_signature(np.empty(0, dtype=np.uint64), a, b)
     assert len(set(sig.tolist())) == 1
+
+
+# -- Rabin-Karp substring (functions/substring.py) ---------------------------
+
+def test_contains_substring_matches_python_in():
+    from infoscience_imports_spark.functions.substring import contains_substring
+
+    from hypothesis import given, settings, strategies as st
+
+    # small alphabet forces periodic/self-similar strings — the adversarial
+    # class for naive substring search and the realistic boilerplate case
+    text = st.text(alphabet="ab x", min_size=0, max_size=400)
+
+    @given(needle=text, hay=text)
+    @settings(max_examples=300, deadline=None)
+    def check(needle, hay):
+        assert contains_substring(needle, hay) == (needle in hay)
+
+    check()
+
+
+def test_contains_substring_long_needles_and_unicode():
+    from infoscience_imports_spark.functions.substring import contains_substring
+
+    base = "la plage de sète é" * 40  # > 64 bytes, multi-byte chars
+    assert contains_substring(base, "prefix " + base + " suffix")
+    assert not contains_substring(base + "!", "prefix " + base)
+    assert contains_substring("", "anything")
+    assert not contains_substring("longer than hay", "short")
+    # planted mid-text with hash-adversarial periodicity
+    periodic = "ab" * 200
+    assert contains_substring(periodic, "x" * 99 + periodic + "y")
+    assert not contains_substring(periodic + "b", "x" + periodic + "a")
+
+
+def test_contains_substring_numpy_path_property():
+    from infoscience_imports_spark.functions.substring import contains_substring
+
+    from hypothesis import given, settings, strategies as st
+
+    long_needle = st.text(alphabet="ab", min_size=64, max_size=200)
+    affix = st.text(alphabet="ab", min_size=0, max_size=120)
+
+    @given(needle=long_needle, pre=affix, post=affix, planted=st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def check(needle, pre, post, planted):
+        hay = pre + (needle if planted else "") + post
+        assert contains_substring(needle, hay) == (needle in hay)
+
+    check()
