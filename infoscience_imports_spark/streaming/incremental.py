@@ -92,7 +92,10 @@ class IncrementalDedup:
             os.remove(p)
 
     # -- batch kernel (also used by foreachBatch) ------------------------------
-    def process_batch(self, pages: DataFrame, batch_id: int) -> None:
+    def _exact_fresh(self, pages: DataFrame):
+        """Signatures of the batch minus already-known digests, exact-deduped
+        within the batch. Returns (sg, fresh_unique); BOTH are persisted —
+        the caller must unpersist them after its writes."""
         from pyspark.storagelevel import StorageLevel
 
         self._migrate_legacy_state()
@@ -100,41 +103,53 @@ class IncrementalDedup:
             F.xxhash64("url").alias("doc_id"),
             normalize_text_col(extract_text_col(F.col("html"))).alias("text_norm"),
         )
-        # persisted: the touched-buckets collect + the two writes below would
-        # otherwise each recompute the full signature kernel pass
+        # persisted: the touched-buckets collect + the writes downstream
+        # would otherwise each recompute the full signature kernel pass
         sg = (
             sigs.compute_signatures(ext, self.cfg)
             .withColumn("state_bucket", self._bucket_col())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        try:
-            has_state = os.path.isdir(self.sig_dir) and any(
-                d.startswith("state_bucket=") for d in os.listdir(self.sig_dir)
+        has_state = os.path.isdir(self.sig_dir) and any(
+            d.startswith("state_bucket=") for d in os.listdir(self.sig_dir)
+        )
+        if has_state:
+            # tiny driver list (≤ n_state_buckets ints) -> partition
+            # pruning: only the state partitions this batch can collide
+            # with are read
+            touched = [
+                r[0] for r in sg.select("state_bucket").distinct().collect()
+            ]
+            known = (
+                self.spark.read.parquet(self.sig_dir)
+                .filter(F.col("state_bucket").isin(touched))
+                .select("digest")
             )
-            if has_state:
-                # tiny driver list (≤ n_state_buckets ints) -> partition
-                # pruning: only the state partitions this batch can collide
-                # with are read
-                touched = [
-                    r[0] for r in sg.select("state_bucket").distinct().collect()
-                ]
-                known = (
-                    self.spark.read.parquet(self.sig_dir)
-                    .filter(F.col("state_bucket").isin(touched))
-                    .select("digest")
-                )
-                fresh = sg.join(known, on="digest", how="left_anti")
-            else:
-                fresh = sg
-            # within-batch exact dedup: keep min doc_id per digest
-            from pyspark.sql import Window
+            fresh = sg.join(known, on="digest", how="left_anti")
+        else:
+            fresh = sg
+        # within-batch exact dedup: keep min doc_id per digest
+        from pyspark.sql import Window
 
-            w = Window.partitionBy("digest").orderBy("doc_id")
-            fresh_unique = (
-                fresh.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        fresh_unique = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            # EAGER lineage cut, not just a persist: the caller appends this
+            # frame to the same state dir its anti-join reads, and Spark's
+            # refreshByPath re-caches (re-EVALUATES) any plan touching the
+            # written path — a lazy plan would then anti-join against its own
+            # output and every later action would see an empty frame. On a
+            # cluster swap for reliable checkpoint() if executor loss within
+            # a micro-batch must be survivable.
+            .localCheckpoint(eager=True)
+        )
+        return sg, fresh_unique
+
+    def process_batch(self, pages: DataFrame, batch_id: int) -> None:
+        sg, fresh_unique = self._exact_fresh(pages)
+        try:
             fresh_unique.write.mode("append").partitionBy("state_bucket").parquet(
                 self.sig_dir
             )
@@ -142,6 +157,7 @@ class IncrementalDedup:
                 "batch_id", F.lit(batch_id)
             ).write.mode("append").parquet(self.new_dir)
         finally:
+            fresh_unique.unpersist()
             sg.unpersist()
 
     # -- streaming driver -------------------------------------------------------
@@ -162,6 +178,173 @@ class IncrementalDedup:
 
     def unique_docs(self) -> DataFrame:
         return self.spark.read.parquet(self.new_dir)
+
+
+class IncrementalNearDedup(IncrementalDedup):
+    """Streaming NEAR-dedup: per micro-batch LSH re-bucketing against state.
+
+    Extends the exact-dup increments with the batch pipeline's candidate
+    machinery driven incrementally (the round-2 "future work" item): each
+    batch's fresh signatures are banded (same ``lsh.band_buckets``), joined
+    against the accumulated **band-bucket state** for new-vs-old candidates
+    and against themselves (``lsh.candidate_pairs``, hot-bucket capped) for
+    new-vs-new, exact-Jaccard verified (``verify.jaccard_verify`` over
+    stored shingle sets), and clustered.
+
+    State layout — three hash-partitioned dirs so every per-batch read is
+    partition-pruned by a tiny driver list (same discipline as the digest
+    state):
+      * ``buckets``   (band, bucket, doc_id)        by pmod(xxhash64(band,bucket))
+      * ``docsigs``   (doc_id, shingles, n_shingles) by pmod(xxhash64(doc_id))
+      * ``clusters``  (doc_id, cluster_id)           by pmod(xxhash64(doc_id))
+
+    Cluster semantics (the reference's "dedup against the repository" second
+    pass, ``deduplicator.py:146-162``): an admitted doc's cluster_id is
+    stable; a new doc joins the minimum cluster_id among its verified
+    partners (its own doc_id if none). A new doc bridging two existing
+    clusters does NOT retroactively merge them — retro-merge is the batch
+    pipeline's recluster job, not the streaming path's.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        cfg: DedupConfig = DEFAULT_CONFIG,
+        n_state_buckets: int = 64,
+    ):
+        super().__init__(spark, state_dir, cfg, n_state_buckets)
+        self.bucket_dir = os.path.join(state_dir, "buckets")
+        self.docsig_dir = os.path.join(state_dir, "docsigs")
+        self.cluster_dir = os.path.join(state_dir, "clusters")
+
+    def _part(self, *cols):
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_state_buckets)).cast("int")
+
+    def _read_pruned(self, path: str, frame: DataFrame, part_col: str) -> DataFrame | None:
+        """Read a state dir restricted to the partitions ``frame`` touches."""
+        if not os.path.isdir(path) or not any(
+            d.startswith(f"{part_col}=") for d in os.listdir(path)
+        ):
+            return None
+        touched = [r[0] for r in frame.select(part_col).distinct().collect()]
+        return self.spark.read.parquet(path).filter(F.col(part_col).isin(touched))
+
+    def process_batch(self, pages: DataFrame, batch_id: int) -> None:
+        from ..operators import lsh
+        from ..operators import verify as vfy
+        from ..operators.components import connected_components
+
+        sg, fresh = self._exact_fresh(pages)
+        try:
+            # ---- exact state + ledger (same as the base class) ----
+            fresh.write.mode("append").partitionBy("state_bucket").parquet(self.sig_dir)
+
+            # ---- candidate generation ----
+            fb = lsh.band_buckets(fresh, self.cfg).withColumn(
+                "bpart", self._part("band", "bucket")
+            )
+            new_new = lsh.candidate_pairs(fb.select("doc_id", "band", "bucket"), self.cfg)
+            old_buckets = self._read_pruned(self.bucket_dir, fb, "bpart")
+            new_old = None
+            if old_buckets is not None:
+                new_old = (
+                    fb.join(old_buckets, on=["band", "bucket"])
+                    .filter(F.col("doc_id") != F.col("old_id"))
+                    .select(
+                        F.col("doc_id").alias("id1"), F.col("old_id").alias("id2")
+                    )
+                    .distinct()
+                )
+
+            # ---- verify: shingles of new docs (in-batch) + old docs (pruned) ----
+            new_sigs = fresh.select("doc_id", "shingles", "n_shingles")
+            if new_old is not None:
+                involved = (
+                    new_old.select(F.col("id2").alias("doc_id"))
+                    .distinct()
+                    .withColumn("dpart", self._part("doc_id"))
+                )
+                old_sigs = self._read_pruned(self.docsig_dir, involved, "dpart")
+                all_sigs = (
+                    new_sigs
+                    if old_sigs is None
+                    else new_sigs.unionByName(
+                        old_sigs.select("doc_id", "shingles", "n_shingles")
+                    ).dropDuplicates(["doc_id"])
+                )
+                # (new_id=id1, old_id=id2) verified links to admitted docs
+                edges_no = vfy.jaccard_verify(new_old, all_sigs, self.cfg).select(
+                    F.col("id1").alias("doc_id"), F.col("id2").alias("old_id")
+                )
+            else:
+                involved = None
+                edges_no = None
+            edges_nn = vfy.jaccard_verify(new_new, new_sigs, self.cfg).select("id1", "id2")
+
+            # ---- cluster: stable ids for admitted docs ----
+            # 1) group the batch's new docs among themselves (component min)
+            assign = connected_components(edges_nn, self.cfg)
+            grouped = (
+                fresh.select("doc_id")
+                .join(assign, on="doc_id", how="left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("group_id"),
+                )
+            )
+            # 2) a group linked to admitted docs adopts the MINIMUM existing
+            #    cluster id among its members' old partners — admitted docs'
+            #    cluster ids never change (bridges don't retro-merge)
+            if edges_no is not None:
+                old_cl = self._read_pruned(
+                    self.cluster_dir,
+                    edges_no.select(F.col("old_id").alias("doc_id")).withColumn(
+                        "dpart", self._part("doc_id")
+                    ),
+                    "dpart",
+                )
+                if old_cl is not None:
+                    link = (
+                        edges_no.join(
+                            old_cl.select(
+                                F.col("doc_id").alias("old_id"),
+                                F.col("cluster_id").alias("old_cluster"),
+                            ),
+                            on="old_id",
+                        )
+                        .join(grouped, on="doc_id")
+                        .groupBy("group_id")
+                        .agg(F.min("old_cluster").alias("adopted"))
+                    )
+                    grouped = grouped.join(link, on="group_id", how="left")
+                else:
+                    grouped = grouped.withColumn("adopted", F.lit(None).cast("long"))
+            else:
+                grouped = grouped.withColumn("adopted", F.lit(None).cast("long"))
+            new_assign = grouped.select(
+                "doc_id", F.coalesce("adopted", "group_id").alias("cluster_id")
+            )
+
+            # ---- persist the three LSH state dirs + the per-batch ledger ----
+            fb.select("band", "bucket", F.col("doc_id").alias("old_id"), "bpart").write.mode(
+                "append"
+            ).partitionBy("bpart").parquet(self.bucket_dir)
+            new_sigs.withColumn("dpart", self._part("doc_id")).write.mode(
+                "append"
+            ).partitionBy("dpart").parquet(self.docsig_dir)
+            new_assign.withColumn("dpart", self._part("doc_id")).write.mode(
+                "append"
+            ).partitionBy("dpart").parquet(self.cluster_dir)
+            fresh.select("doc_id", "digest").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(self.new_dir)
+        finally:
+            fresh.unpersist()
+            sg.unpersist()
+
+    def clusters(self) -> DataFrame:
+        return self.spark.read.parquet(self.cluster_dir).select("doc_id", "cluster_id")
 
 
 def watermark_dedup_stream(pages_stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
