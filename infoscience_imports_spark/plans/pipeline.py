@@ -65,6 +65,11 @@ class DedupPipeline:
         self.cfg_fp = chain_fingerprint(repr(sorted(cfg.to_dict().items())))
         self.input_fp = input_fingerprint
         self._stage_persists: list[DataFrame] = []
+        # measured gate inputs of the last run (soak/scale evidence):
+        # candidate_pairs vs broadcast_pair_limit decides broadcast-vs-shuffle
+        # verify; sym edge count vs cc_local_max_edges decides local-vs-
+        # distributed components
+        self.metrics: dict[str, int | bool] = {}
 
     # -- stage fingerprints chain --------------------------------------------
     def fingerprint(self, stage: str) -> str:
@@ -216,7 +221,10 @@ class DedupPipeline:
         cands = minhash_pairs.unionByName(contain_cand).unionByName(sim_pairs).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        small = cands.count() <= self.cfg.broadcast_pair_limit
+        n_cands = cands.count()
+        small = n_cands <= self.cfg.broadcast_pair_limit
+        self.metrics["candidate_pairs"] = n_cands
+        self.metrics["verify_broadcast_gated"] = small
         self._stage_persists.append(cands)
         fz_pairs = cands.filter(F.col("rule") != "simhash")
         sh_pairs = cands.filter(F.col("rule") == "simhash").select("id1", "id2")

@@ -1,0 +1,177 @@
+"""Above-gate soak: run the web-scale code branches end-to-end and record it.
+
+Round-2 verdict, "Next round" #1: the candidate-pair gate, the components
+local-path gate and the signatures broadcast-vs-window branch all selected
+the small-corpus path in every test and CORRECTNESS query — the exact code
+that runs at 100x (shuffle verify join, distributed large-star/small-star,
+window rep_id) was the least-exercised. This driver:
+
+  1. generates a soak corpus (default 100k pages, planted dup classes),
+  2. runs the FULL pipeline with soak gates set so the MEASURED counts cross
+     every gate (the gate values are config; the branches they select are
+     the code under test — the report records measured count vs gate so the
+     crossing is evidenced, not asserted),
+  3. computes dup-pair recall against the planted truth,
+  4. runs a subset corpus through BOTH configs and checks cluster-for-cluster
+     parity (the gates are physical-plan switches; output must be identical),
+  5. appends the evidence to BENCH/BASELINE.md.
+
+Usage:
+    python scripts/soak_above_gate.py [--pages 100000] [--subset 20000]
+                                      [--cores 32] [--corpus DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from infoscience_imports_spark.config import DedupConfig  # noqa: E402
+from infoscience_imports_spark.plans.pipeline import DedupPipeline  # noqa: E402
+from infoscience_imports_spark.session import get_spark  # noqa: E402
+from infoscience_imports_spark.sources.catalog import CheckpointStore  # noqa: E402
+from infoscience_imports_spark.sources.synthetic import (  # noqa: E402
+    generate_web_pages,
+    pipeline_input,
+    true_pairs,
+)
+
+# Gates sized so a ~100k-page soak corpus measurably crosses every one of
+# them (candidate pairs > broadcast_pair_limit -> shuffle verify join;
+# signature rows > broadcast_pair_limit -> window rep_id; sym edges >
+# cc_local_max_edges -> distributed CC; > salt_min_edges -> salted joins).
+SOAK_CFG = DedupConfig(
+    broadcast_pair_limit=20_000,
+    cc_local_max_edges=20_000,
+    salt_min_edges=20_000,
+)
+
+
+def _recall(spark, pages_truth, clusters) -> float:
+    from pyspark.sql import functions as F
+
+    tp = true_pairs(pages_truth)
+    j = (
+        tp.join(
+            clusters.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"),
+            "id1",
+        ).join(
+            clusters.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"),
+            "id2",
+        )
+    )
+    return j.agg(
+        F.avg((F.col("c1") == F.col("c2")).cast("double")).alias("r")
+    ).collect()[0]["r"]
+
+
+def _run(spark, pages, cfg, tag):
+    wh = tempfile.mkdtemp(prefix=f"soak-{tag}-")
+    pipe = DedupPipeline(spark, CheckpointStore(spark, wh), cfg, input_fingerprint=f"soak-{tag}")
+    t0 = time.monotonic()
+    res = pipe.run(pages, resume=False)
+    wall = time.monotonic() - t0
+    return pipe, res, wall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--subset", type=int, default=20_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--corpus", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="soak-above-gate",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(2 * args.cores, 8),
+    )
+
+    if args.corpus:
+        corpus = args.corpus
+    else:
+        corpus = tempfile.mkdtemp(prefix="soak-corpus-")
+        gen_parts = max(32, args.pages // 512)
+        generate_web_pages(
+            spark, args.pages, seed=42, partitions=gen_parts, interleave=True
+        ).write.mode("overwrite").parquet(corpus)
+    pages_truth = spark.read.parquet(corpus)
+    pages = pipeline_input(pages_truth)
+    n_pages = pages.count()
+
+    # ---- soak run through the above-gate branches ----
+    pipe, res, wall = _run(spark, pages, SOAK_CFG, "full")
+    clusters = pipe.clusters()
+    recall = _recall(spark, pages_truth, clusters)
+    n_sig = res.rows.get("signatures", 0)
+    n_edges = res.rows.get("edges", 0)
+    report = {
+        "pages": n_pages,
+        "cores": args.cores,
+        "wall_sec": round(wall, 1),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "stages_sec": {k: round(v, 2) for k, v in res.timings.items()},
+        "rows": res.rows,
+        "recall": recall,
+        "gates": {
+            "candidate_pairs": {
+                "measured": pipe.metrics.get("candidate_pairs"),
+                "gate": SOAK_CFG.broadcast_pair_limit,
+                "crossed": not pipe.metrics.get("verify_broadcast_gated", True),
+            },
+            "signature_rows_vs_broadcast_pair_limit": {
+                "measured": n_sig,
+                "gate": SOAK_CFG.broadcast_pair_limit,
+                "crossed": n_sig > SOAK_CFG.broadcast_pair_limit,
+            },
+            "sym_edges_vs_cc_local_max": {
+                "measured": 2 * n_edges,
+                "gate": SOAK_CFG.cc_local_max_edges,
+                "crossed": 2 * n_edges > SOAK_CFG.cc_local_max_edges,
+            },
+        },
+    }
+    print("SOAK " + json.dumps(report), flush=True)
+
+    # ---- parity: subset corpus through both configs ----
+    sub_truth = spark.read.parquet(corpus).limit(args.subset).cache()
+    sub = pipeline_input(sub_truth)
+    p1, _r1, _w1 = _run(spark, sub, DedupConfig(), "sub-default")
+    p2, _r2, _w2 = _run(spark, sub, SOAK_CFG, "sub-forced")
+    a = sorted((r["doc_id"], r["cluster_id"]) for r in p1.clusters().collect())
+    b = sorted((r["doc_id"], r["cluster_id"]) for r in p2.clusters().collect())
+    parity = a == b
+    print(f"PARITY subset={args.subset} identical={parity}", flush=True)
+    if not parity:
+        raise SystemExit("gated vs above-gate cluster outputs differ")
+
+    # ---- append evidence to the bench ledger ----
+    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md")
+    with open(md, "a") as f:
+        f.write(
+            f"\n## Above-gate soak: {n_pages} pages, local[{args.cores}]\n\n"
+            f"Soak gates: broadcast_pair_limit={SOAK_CFG.broadcast_pair_limit}, "
+            f"cc_local_max_edges={SOAK_CFG.cc_local_max_edges}, "
+            f"salt_min_edges={SOAK_CFG.salt_min_edges} — every branch below ran the\n"
+            f"WEB-SCALE path (window rep_id, shuffle verify join, distributed\n"
+            f"large-star/small-star with salted hub joins).\n\n"
+            f"- wall {report['wall_sec']} s ({report['pages_per_sec']} pages/sec); "
+            f"stages `{json.dumps(report['stages_sec'])}`\n"
+            f"- rows `{json.dumps(report['rows'])}`\n"
+            f"- gate crossings `{json.dumps(report['gates'])}`\n"
+            f"- dup-pair recall vs planted truth: **{recall}**\n"
+            f"- subset parity ({args.subset} pages, default vs soak gates): "
+            f"**identical cluster assignments**\n"
+        )
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
