@@ -269,8 +269,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """LSH path: signatures -> bands -> candidates -> exact-Jaccard verify."""
-    docs = _doc_norm(_t(spark, sf_dir, "documents"))
-    sg = sigs.compute_signatures(docs, CFG, text_col="text_norm", id_col="doc_id")
+    # one small parquet file = one scan split: without the repartition the
+    # 128-perm signature kernel runs as a SINGLE task (measured 6.5 s at
+    # sf0.1, all of it on one core)
+    docs = _doc_norm(
+        _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    )
+    # cached: the signature frame feeds candidate generation AND both sides
+    # of the shingle verify join — uncached, the Arrow kernel re-runs per
+    # consumer (~0.6 s each at sf0.1)
+    sg = sigs.compute_signatures(docs, CFG, text_col="text_norm", id_col="doc_id").cache()
     pairs = lsh.candidate_pairs(lsh.band_buckets(sg, CFG), CFG)
     return verify.jaccard_verify(pairs, sg, CFG).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
@@ -293,7 +301,9 @@ def q_dedup_simhash_title(spark, sf_dir):
     contract is provably 1.0 and the output equals the brute-force DuckDB
     twin. Fuzzier prefix similarity (Hamming 1-3) stays covered by the e2e
     TITLE_DUP recall test, where truth is the planted classes."""
-    docs = _doc_norm(_t(spark, sf_dir, "documents"))
+    docs = _doc_norm(
+        _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = F.filter(F.split("text_norm", " "), lambda x: x != "")
     pf = docs.select(
         "doc_id", F.sort_array(F.slice(toks, 1, 12)).alias("ps")

@@ -59,15 +59,25 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """(band, bucket, doc_id) -> distinct (id1, id2) with id1 < id2.
 
-    Hot-bucket detection uses a partial-aggregated groupBy (combiner
-    map-side) and a **broadcast** of the hot-bucket list instead of a global
-    window — no full sort of the bucket table. Hot buckets degrade to star
-    pairing against their ``hub_count`` smallest doc_ids.
+    Hot-bucket detection uses ONE partial-aggregated stats pass (count +
+    min/max doc_id per bucket — all combiner-friendly, no per-bucket
+    materialization even for a 10^7-doc mega-bucket) whose hot slice is
+    **broadcast** once, carrying the hub ids with it. Hot buckets degrade to
+    star pairing against their min/max doc_id hubs; everything downstream of
+    the single stats shuffle is map-side except the self-join and the final
+    distinct (round-3: the previous form paid two extra groupBy/broadcast
+    stage barriers per call — pure fixed cost at any scale).
     """
-    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsize"))
-    hot = sizes.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket")
+    stats = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsize"),
+        F.min("doc_id").alias("h1"),
+        F.max("doc_id").alias("h2"),
+    )
+    hot = stats.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket", "h1", "h2")
 
-    small = buckets.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+    small = buckets.join(
+        F.broadcast(hot.select("band", "bucket")), on=["band", "bucket"], how="left_anti"
+    )
     # The self-join sides are O(corpus) — force a shuffle-hash join. Without
     # the hint Catalyst sees a compressed-parquet size estimate under the
     # broadcast threshold and builds a driver-side hash relation of the WHOLE
@@ -89,17 +99,14 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
         .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
     )
 
-    # hot buckets: star pairing against two hubs (bucket min and max doc_id).
-    # min/max are partial-aggregable — no per-bucket materialization, so a
-    # 10^7-doc mega-bucket still costs O(bucket) map-side work.
-    big = buckets.join(F.broadcast(hot), on=["band", "bucket"], how="left_semi")
-    hubs = (
-        big.groupBy("band", "bucket")
-        .agg(F.min("doc_id").alias("h1"), F.max("doc_id").alias("h2"))
-        .select("band", "bucket", F.explode(F.array_distinct(F.array("h1", "h2"))).alias("hub_id"))
-    )
+    # hot buckets: star pairing against the two hubs carried in the broadcast
+    # stats slice — map-side join + inline hub explode, no second aggregation
     big_pairs = (
-        big.join(F.broadcast(hubs), on=["band", "bucket"])
+        buckets.join(F.broadcast(hot), on=["band", "bucket"])
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.array("h1", "h2"))).alias("hub_id"),
+        )
         .filter(F.col("doc_id") != F.col("hub_id"))
         .select(
             F.least("doc_id", "hub_id").alias("id1"),
