@@ -144,6 +144,15 @@ def simhash_band_pairs(
     2^32 stay negligible until ~10^5x more docs, at the price of C(b,3)
     rows per doc (20 for radius 3) through one narrow explode.
     """
+    # same capped pairing as the MinHash path (identical boilerplate titles
+    # form mega-buckets; star pairing keeps them connected without O(c^2))
+    return candidate_pairs(simhash_band_keys(signatures, cfg), cfg)
+
+
+def simhash_band_keys(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, band, bucket) SimHash block-combination key rows."""
     from itertools import combinations
 
     r = max(1, cfg.simhash_hamming_max)
@@ -160,12 +169,7 @@ def simhash_band_pairs(
             for ci, (i, j, k) in enumerate(combinations(range(b), 3))
         ]
     )
-    sb = signatures.select(
-        "doc_id", F.posexplode(keys).alias("band", "bucket")
-    )
-    # same capped pairing as the MinHash path (identical boilerplate titles
-    # form mega-buckets; star pairing keeps them connected without O(c^2))
-    return candidate_pairs(sb, cfg)
+    return signatures.select("doc_id", F.posexplode(keys).alias("band", "bucket"))
 
 
 def hamming_edges(

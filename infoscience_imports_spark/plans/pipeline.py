@@ -198,6 +198,13 @@ class DedupPipeline:
         )
         self._stage_persists.append(rep_texts)
         exact = verify.exact_edges(signatures)
+        # NB: one unified candidate_pairs over a banded union of both LSH
+        # families was tried (round 3) and REVERTED: the per-family subtrees
+        # below evaluate concurrently inside the single gated count job
+        # (independent stages of one job fill idle cores), and the union
+        # serialized that work through one longer shuffle chain — measured
+        # edges 8.2 s -> 11.0 s at 20k pages. Shuffle COUNT is not the
+        # bottleneck here; concurrent stage occupancy is.
         minhash_pairs = lsh.candidate_pairs(buckets, self.cfg).select(
             "id1", "id2", F.lit("minhash").alias("rule")
         )
