@@ -23,6 +23,7 @@ from infoscience_imports_spark.operators.components import attach_clusters, conn
 from infoscience_imports_spark.operators.family import aggregate_families
 from infoscience_imports_spark.operators.upsert import upsert
 from infoscience_imports_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_signlsh_topk,
     cosine_topk,
     hyperplanes,
@@ -372,6 +373,18 @@ def q_ann_signlsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_signlsh_topk(queries, emb, dim=64, k=3, bits=6, probe_radius=2)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: exemplar cells (16 smallest-id vectors),
+    nearest-cell assignment in one Arrow kernel, nprobe=4 probing, exact
+    re-rank. The DuckDB oracle reconstructs the same cells from the table
+    and replicates assignment/probe/re-rank — an algorithm twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(queries, emb, k=3, n_cells=16, nprobe=4)
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -798,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_signlsh": q_ann_signlsh,
+        "ann_ivf": q_ann_ivf,
         "group_merge_docs": q_group_merge_docs,
         "doc_rollup": q_doc_rollup,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1035,6 +1049,37 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.50
         """,
         "ann_signlsh": _ann_signlsh_sql(),
+        "ann_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                                  c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            qprobes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+                       c.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                                  c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 4),
+            scored AS (
+              SELECT q.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, CAST(e2.embedding AS DOUBLE[])) AS sim,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, CAST(e2.embedding AS DOUBLE[])) DESC,
+                                a.vec_id ASC) AS rank
+              FROM qprobes q
+              JOIN assigned a ON a.cell = q.cell AND a.vec_id != q.query_id
+              JOIN embeddings e2 ON e2.vec_id = a.vec_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+            FROM scored WHERE rank <= 3
+        """,
         "group_merge_docs": f"""
             WITH ranked AS (
               SELECT doc_id, source, lang,

@@ -31,9 +31,12 @@ def contains_substring(needle: str, haystack: str) -> bool:
     m, n = len(nb), len(hb)
     if m > n:
         return False
-    if m < 64:
-        # short needles: CPython's memchr-accelerated path is already linear
-        # in practice and beats the numpy setup cost
+    if m < 64 or n < (1 << 16):
+        # CPython's adaptive search (memchr for short needles, two-way for
+        # long ones) beats the numpy setup by ~20x on page-sized texts
+        # (measured 3.3 vs 71.7 us on a 4 KB haystack); the vectorized pass
+        # only pays off once the haystack is large enough to amortize its
+        # ~6 full-array allocations
         return nb in hb
     h = np.frombuffer(hb, dtype=np.uint8).astype(np.uint64)
     q = np.frombuffer(nb, dtype=np.uint8).astype(np.uint64)

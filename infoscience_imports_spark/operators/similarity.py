@@ -386,6 +386,92 @@ def signlsh_bucket_udf(planes: list[list[float]]):
     return bucket.asNondeterministic()
 
 
+def ivf_assign_udf(centers: np.ndarray, nprobe: int = 1):
+    """Arrow kernel: nearest-``nprobe`` IVF cells of a vector column.
+
+    ``centers`` is a (n_cells, dim) float64 array ORDERED BY CELL ID.
+    Similarity is cosine with the sequential left-to-right summation order
+    (bit-identical to the JVM fold and DuckDB's list functions — the same
+    discipline as :func:`signlsh_bucket_udf`); ties break to the lowest
+    cell id (stable argsort), matching the oracle's ``ORDER BY sim DESC,
+    cid ASC`` row_number. Returns ``array<int>`` of cell ids, best first.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centers, dtype=np.float64)
+    cn = np.sqrt((c * c).cumsum(axis=1)[:, -1])
+
+    @pandas_udf("array<int>")
+    def assign(vecs):
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        dots = (m[:, None, :] * c[None, :, :]).cumsum(axis=2)[:, :, -1]
+        vn = np.sqrt((m * m).cumsum(axis=1)[:, -1])
+        sims = dots / (vn[:, None] * cn[None, :])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign.asNondeterministic()  # single evaluation (see signlsh_bucket_udf)
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_q: str = "query_id",
+    id_c: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The cell centers are the ``n_cells`` smallest-id corpus vectors — an
+    exemplar (k-medoids-init) quantizer that BOTH engines can reconstruct
+    from the table itself, which is what makes the DuckDB oracle a true
+    algorithm twin (a k-means refinement would plug into the same plumbing
+    and only move recall; the partition/probe/re-rank plan is the part that
+    has a 100-TB shape). Corpus vectors are assigned to their nearest cell
+    by ONE Arrow kernel pass (narrow int column); each query probes its
+    ``nprobe`` nearest cells; the candidate join is an equi-join on cell id
+    with the (tiny) probe side broadcast; candidates re-rank with the exact
+    sequential-order cosine. Complements :func:`ann_signlsh_topk` — IVF
+    adapts to the data distribution where sign-LSH is data-oblivious.
+    """
+    centers_rows = (
+        corpus.select(F.col(id_c).alias("_id"), F.col(vec).alias("_v"))
+        .orderBy("_id")
+        .limit(n_cells)
+        .collect()
+    )
+    centers = np.asarray([r["_v"] for r in centers_rows], dtype=np.float64)
+    cos = _cosine_pandas_udf()
+    assign1 = ivf_assign_udf(centers, nprobe=1)
+    assignp = ivf_assign_udf(centers, nprobe=nprobe)
+
+    c = corpus.select(
+        F.col(id_c).alias("neighbor_id"),
+        F.col(vec).alias("_cv"),
+        F.element_at(assign1(F.col(vec)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_q).alias("query_id"),
+        F.col(vec).alias("_qv"),
+        F.explode(assignp(F.col(vec))).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q).join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cos(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def probe_masks(bits: int, radius: int) -> list[int]:
     """XOR masks for multi-probe LSH: all bit patterns of weight <= radius."""
     from itertools import combinations

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from infoscience_imports_spark.operators.similarity import (
     _auto_n_blocks,
+    ann_ivf_topk,
     ann_signlsh_topk,
     cosine_topk,
     probe_masks,
@@ -137,6 +138,48 @@ def test_auto_blocks_and_tiling_match_fixed_blocks(spark, planted):
     assert _auto_n_blocks(N_BASE + N_DUP, DIM, 8 << 10) > 8
     assert auto == fixed
     assert {(i, j) for i, j, _ in auto} == _true_pairs(sims, 0.9)
+
+
+def test_ann_ivf_matches_numpy_twin(spark, planted):
+    """IVF assignment/probe/re-rank must equal an independent numpy
+    replication of the algorithm (exemplar centers = 16 smallest ids,
+    cosine in sequential order, ties to lowest cell/neighbor id)."""
+    df, _ = planted
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"])) for r in df.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    vecs = np.stack([t[1] for t in rows])
+    n_cells, nprobe, k = 16, 4, 3
+    centers = vecs[:n_cells]
+
+    def cos(a, b):
+        return (a * b).cumsum()[-1] / (
+            np.sqrt((a * a).cumsum()[-1]) * np.sqrt((b * b).cumsum()[-1])
+        )
+
+    csims = np.array([[cos(v, c) for c in centers] for v in vecs])
+    assign = np.argsort(-csims, axis=1, kind="stable")
+    cell = assign[:, 0]
+    expected = set()
+    for qi in range(len(ids)):
+        if ids[qi] >= 10:
+            continue
+        probes = set(assign[qi, :nprobe].tolist())
+        cand = [j for j in range(len(ids)) if cell[j] in probes and j != qi]
+        ranked = sorted(cand, key=lambda j: (-cos(vecs[qi], vecs[j]), ids[j]))
+        for rank, j in enumerate(ranked[:k], start=1):
+            expected.add((int(ids[qi]), int(ids[j]), rank))
+
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_ivf_topk(queries, df, k=k, n_cells=n_cells, nprobe=nprobe).collect()
+    }
+    assert got == expected and got
 
 
 def test_probe_masks():
