@@ -58,24 +58,6 @@ def _doc_norm(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text_norm", normalize_text_col(F.col("text")))
 
 
-def _shingle_strings(toks):
-    """Distinct 5-gram shingle strings of a token array (JVM-side)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
-        )
-    )
-
-
-def _doc_shingles(spark, sf_dir):
-    docs = _doc_norm(_t(spark, sf_dir, "documents"))
-    toks = F.filter(F.split("text_norm", " "), lambda x: x != "")
-    return docs.select(
-        "doc_id", _shingle_strings(toks).alias("sh")
-    ).filter(F.size("sh") > 0)
-
-
 def _doc_shingles_hashed(spark, sf_dir):
     """(doc_id, shs: sorted-unique int64 shingle hashes, n) — Arrow kernel.
 
@@ -147,10 +129,19 @@ def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
     postings = hs.select("doc_id", "n", F.explode("shs").alias("s"))
     freq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    # boundary guard: when t*n is an exact integer whose double rounds UP
+    # (e.g. 0.8*10 = 8.000000000000002), a bare ceil would shorten the prefix
+    # below the lemma's bound and silently drop exact-boundary pairs; the
+    # epsilon (>> double error ~1e-15, << any real fractional part) restores
+    # exact ceil while never lengthening legitimate non-integer cases
+    eps = 1e-9
     pref = (
         postings.join(freq.hint("shuffle_hash"), on="s")
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .filter(
+            F.col("_rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps)) + 1
+        )
         .select("doc_id", "n", "s")
     )
     # prefix postings are still O(corpus): pin shuffle-hash (a size-estimate
@@ -164,7 +155,11 @@ def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
             on=[
                 F.col("a.s") == F.col("b.s"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
-                F.least("a.n", "b.n") >= F.lit(threshold) * F.greatest("a.n", "b.n"),
+                # same epsilon rationale as the prefix bound: over-inclusion
+                # is safe (the exact Jaccard filter prunes), exclusion at an
+                # exact-integer boundary is a wrong answer
+                F.least("a.n", "b.n")
+                >= F.lit(threshold) * F.greatest("a.n", "b.n") - F.lit(1e-9),
             ],
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))

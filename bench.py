@@ -88,12 +88,13 @@ def main() -> None:
     # compile-warm every headline plan shape at sf0.001 (different source
     # path -> no data-cache crossover; whole-stage codegen + Arrow worker
     # pools DO carry over): first execution of a cold plan shape pays
-    # ~3-4 s of driver-side compilation that a warm deployment never sees
-    for name in HEADLINE:
-        try:
-            run_noop(qs[name](spark, "/root/testdata/sf0.001"))
-        except Exception:
-            pass
+    # ~3-4 s of driver-side compilation that a warm deployment never sees.
+    # Skipped when the bench TARGET is the warm dir itself — plan-identical
+    # warm runs would leave data caches the timed pass silently reads.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.realpath(sf_dir) != os.path.realpath(warm_dir) and os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            run_noop(qs[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

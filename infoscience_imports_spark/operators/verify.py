@@ -80,14 +80,19 @@ def jaccard_verify(
     signatures: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     rule: str = "minhash",
+    pregated: bool = False,
 ) -> DataFrame:
-    """(id1, id2) candidates -> verified edges with exact shingle Jaccard."""
+    """(id1, id2) candidates -> verified edges with exact shingle Jaccard.
+
+    ``pregated=True``: the caller already persisted (and, if it wants, hinted)
+    the pair frame and owns its unpersist — long-running callers (streaming
+    micro-batches) must not leak one internal gate persist per batch."""
     sig = signatures.select("doc_id", "shingles", "n_shingles")
     # size-gated broadcast of the narrow pair list (gate_broadcast): small
     # lists stream the wide shingle arrays through both joins shuffle-free,
     # large ones fall back to shuffle joins + AQE
     joined = (
-        gate_broadcast(pairs, cfg.broadcast_pair_limit)
+        (pairs if pregated else gate_broadcast(pairs, cfg.broadcast_pair_limit))
         .join(
             sig.select(
                 F.col("doc_id").alias("id1"),

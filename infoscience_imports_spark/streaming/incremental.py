@@ -198,6 +198,14 @@ class IncrementalNearDedup(IncrementalDedup):
       * ``docsigs``   (doc_id, shingles, n_shingles) by pmod(xxhash64(doc_id))
       * ``clusters``  (doc_id, cluster_id)           by pmod(xxhash64(doc_id))
 
+    Boundedness: bucket state inserts stop once a (band, bucket) holds
+    ``cfg.bucket_cap`` members — later docs in that bucket still link
+    THROUGH the capped members (bounded-degree, same tradeoff as the
+    in-batch star pairing) — so per-batch new-vs-old candidates are
+    O(batch x cap) at any stream age. Doc-keyed state is first-write-wins:
+    a re-crawled URL (same doc_id, new digest) keeps its original cluster
+    row and shingle row; the digest state still admits the new content.
+
     Cluster semantics (the reference's "dedup against the repository" second
     pass, ``deduplicator.py:146-162``): an admitted doc's cluster_id is
     stable; a new doc joins the minimum cluster_id among its verified
@@ -231,16 +239,20 @@ class IncrementalNearDedup(IncrementalDedup):
         return self.spark.read.parquet(path).filter(F.col(part_col).isin(touched))
 
     def process_batch(self, pages: DataFrame, batch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         from ..operators import lsh
         from ..operators import verify as vfy
         from ..operators.components import connected_components
 
         sg, fresh = self._exact_fresh(pages)
+        persisted: list[DataFrame] = []
         try:
-            # ---- exact state + ledger (same as the base class) ----
-            fresh.write.mode("append").partitionBy("state_bucket").parquet(self.sig_dir)
-
-            # ---- candidate generation ----
+            # ---- candidate generation (NO state writes yet: every frame
+            # whose plan reads a state dir is eagerly materialized before the
+            # appends below — refreshByPath after an append re-evaluates lazy
+            # plans against state polluted with this batch's own rows, the
+            # hazard documented in _exact_fresh) ----
             fb = lsh.band_buckets(fresh, self.cfg).withColumn(
                 "bpart", self._part("band", "bucket")
             )
@@ -248,6 +260,9 @@ class IncrementalNearDedup(IncrementalDedup):
             old_buckets = self._read_pruned(self.bucket_dir, fb, "bpart")
             new_old = None
             if old_buckets is not None:
+                # persisted: feeds the docsig-pruning collect, the verify
+                # join and the cluster link — uncached it would re-run the
+                # state join three times per batch
                 new_old = (
                     fb.join(old_buckets, on=["band", "bucket"])
                     .filter(F.col("doc_id") != F.col("old_id"))
@@ -255,10 +270,13 @@ class IncrementalNearDedup(IncrementalDedup):
                         F.col("doc_id").alias("id1"), F.col("old_id").alias("id2")
                     )
                     .distinct()
+                    .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                persisted.append(new_old)
 
             # ---- verify: shingles of new docs (in-batch) + old docs (pruned) ----
             new_sigs = fresh.select("doc_id", "shingles", "n_shingles")
+            edges_no = None
             if new_old is not None:
                 involved = (
                     new_old.select(F.col("id2").alias("doc_id"))
@@ -266,21 +284,32 @@ class IncrementalNearDedup(IncrementalDedup):
                     .withColumn("dpart", self._part("doc_id"))
                 )
                 old_sigs = self._read_pruned(self.docsig_dir, involved, "dpart")
+                # deterministic overlap resolution (re-crawled URLs appear in
+                # both): the batch's row wins — an anti-join beats
+                # dropDuplicates, whose surviving row is partition-order luck
                 all_sigs = (
                     new_sigs
                     if old_sigs is None
                     else new_sigs.unionByName(
-                        old_sigs.select("doc_id", "shingles", "n_shingles")
-                    ).dropDuplicates(["doc_id"])
+                        old_sigs.select("doc_id", "shingles", "n_shingles").join(
+                            new_sigs.select("doc_id"), on="doc_id", how="left_anti"
+                        )
+                    )
                 )
-                # (new_id=id1, old_id=id2) verified links to admitted docs
-                edges_no = vfy.jaccard_verify(new_old, all_sigs, self.cfg).select(
-                    F.col("id1").alias("doc_id"), F.col("id2").alias("old_id")
+                # (new_id, old_id) verified links to admitted docs; persisted
+                # (pregated) — it is consumed by the cluster-state pruning
+                # collect AND the link join
+                edges_no = (
+                    vfy.jaccard_verify(new_old, all_sigs, self.cfg, pregated=True)
+                    .select(F.col("id1").alias("doc_id"), F.col("id2").alias("old_id"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
                 )
-            else:
-                involved = None
-                edges_no = None
-            edges_nn = vfy.jaccard_verify(new_new, new_sigs, self.cfg).select("id1", "id2")
+                persisted.append(edges_no)
+            nn_pairs = new_new.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(nn_pairs)
+            edges_nn = vfy.jaccard_verify(nn_pairs, new_sigs, self.cfg, pregated=True).select(
+                "id1", "id2"
+            )
 
             # ---- cluster: stable ids for admitted docs ----
             # 1) group the batch's new docs among themselves (component min)
@@ -326,20 +355,58 @@ class IncrementalNearDedup(IncrementalDedup):
                 "doc_id", F.coalesce("adopted", "group_id").alias("cluster_id")
             )
 
-            # ---- persist the three LSH state dirs + the per-batch ledger ----
-            fb.select("band", "bucket", F.col("doc_id").alias("old_id"), "bpart").write.mode(
-                "append"
-            ).partitionBy("bpart").parquet(self.bucket_dir)
-            new_sigs.withColumn("dpart", self._part("doc_id")).write.mode(
-                "append"
-            ).partitionBy("dpart").parquet(self.docsig_dir)
-            new_assign.withColumn("dpart", self._part("doc_id")).write.mode(
-                "append"
-            ).partitionBy("dpart").parquet(self.cluster_dir)
+            # ---- prepare state inserts, then CUT LINEAGE before any write ----
+            # bucket state stays bounded per (band, bucket): once a bucket
+            # holds >= bucket_cap member rows (boilerplate mega-bucket) new
+            # members stop being inserted — they still LINK through the
+            # existing <= cap members (same bounded-degree tradeoff as the
+            # in-batch star pairing), so per-batch new-vs-old candidates stay
+            # O(batch x cap) instead of growing with stream age
+            fb_rows = fb.select(
+                "band", "bucket", F.col("doc_id").alias("old_id"), "bpart"
+            )
+            if old_buckets is not None:
+                old_counts = old_buckets.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("_old_n")
+                )
+                fb_rows = (
+                    fb_rows.join(old_counts, on=["band", "bucket"], how="left")
+                    .filter(F.coalesce(F.col("_old_n"), F.lit(0)) < F.lit(self.cfg.bucket_cap))
+                    .drop("_old_n")
+                )
+            # re-crawled URL (same doc_id, new digest): the URL-keyed doc
+            # state is first-write-wins — the original cluster assignment and
+            # shingle row stay authoritative (content-addressed digest state
+            # still admits the new content for exact-dup purposes)
+            fresh_dparts = fresh.select("doc_id").withColumn("dpart", self._part("doc_id"))
+            known_docs = self._read_pruned(self.cluster_dir, fresh_dparts, "dpart")
+            assign_out = new_assign
+            sigs_out = new_sigs
+            if known_docs is not None:
+                known_ids = known_docs.select("doc_id")
+                assign_out = assign_out.join(known_ids, on="doc_id", how="left_anti")
+                sigs_out = sigs_out.join(known_ids, on="doc_id", how="left_anti")
+            # eager lineage cuts: these three plans read the state dirs they
+            # are about to be appended to
+            fb_rows = fb_rows.localCheckpoint(eager=True)
+            assign_out = (
+                assign_out.withColumn("dpart", self._part("doc_id")).localCheckpoint(eager=True)
+            )
+            sigs_out = (
+                sigs_out.withColumn("dpart", self._part("doc_id")).localCheckpoint(eager=True)
+            )
+
+            # ---- writes (all frames below are lineage-cut or state-free) ----
+            fresh.write.mode("append").partitionBy("state_bucket").parquet(self.sig_dir)
+            fb_rows.write.mode("append").partitionBy("bpart").parquet(self.bucket_dir)
+            sigs_out.write.mode("append").partitionBy("dpart").parquet(self.docsig_dir)
+            assign_out.write.mode("append").partitionBy("dpart").parquet(self.cluster_dir)
             fresh.select("doc_id", "digest").withColumn(
                 "batch_id", F.lit(batch_id)
             ).write.mode("append").parquet(self.new_dir)
         finally:
+            for df in persisted:
+                df.unpersist()
             fresh.unpersist()
             sg.unpersist()
 

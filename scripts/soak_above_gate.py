@@ -141,7 +141,10 @@ def main() -> None:
     print("SOAK " + json.dumps(report), flush=True)
 
     # ---- parity: subset corpus through both configs ----
-    sub_truth = spark.read.parquet(corpus).limit(args.subset).cache()
+    # deterministic subset (orderBy, not bare limit): a cache-evicted bare
+    # limit() can recompute a DIFFERENT row subset between the two runs and
+    # fail the parity assertion spuriously
+    sub_truth = spark.read.parquet(corpus).orderBy("url").limit(args.subset).cache()
     sub = pipeline_input(sub_truth)
     p1, _r1, _w1 = _run(spark, sub, DedupConfig(), "sub-default")
     p2, _r2, _w2 = _run(spark, sub, SOAK_CFG, "sub-forced")

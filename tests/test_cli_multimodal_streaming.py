@@ -206,6 +206,39 @@ def test_incremental_lsh_links_neardup_to_earlier_cluster(spark):
     shutil.rmtree(state)
 
 
+def test_incremental_lsh_recrawl_is_first_write_wins(spark):
+    """A re-crawled URL (same doc_id = xxhash64(url), changed content) must
+    not get a second, conflicting cluster or shingle row: doc-keyed state is
+    first-write-wins while the digest state still admits the new content."""
+    import datetime
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="stream-recrawl-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def page(url, text):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(text, "t")), lang="en")
+
+    text_a = " ".join(f"aa{i:03d}" for i in range(150))
+    text_b = " ".join(f"bb{i:03d}" for i in range(150))
+    inc.process_batch(spark.createDataFrame([page("https://u.test/1", text_a)]), 0)
+    inc.process_batch(spark.createDataFrame([page("https://u.test/1", text_b)]), 1)
+
+    u = spark.createDataFrame([("https://u.test/1",)], "url string").select(
+        F.xxhash64("url").alias("doc_id")
+    ).collect()[0]["doc_id"]
+    cl = inc.clusters().filter(F.col("doc_id") == u).collect()
+    assert len(cl) == 1 and cl[0]["cluster_id"] == u  # one row, original cluster
+    sigs = spark.read.parquet(inc.docsig_dir).filter(F.col("doc_id") == u).collect()
+    assert len(sigs) == 1
+    # both digests were admitted to the content-addressed state
+    assert spark.read.parquet(inc.new_dir).count() == 2
+    shutil.rmtree(state)
+
+
 def test_watermark_dedup_stream(spark):
     from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
     from infoscience_imports_spark.streaming.incremental import watermark_dedup_stream

@@ -64,3 +64,19 @@ def test_parity_subset(spark, duck, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(rows) == len(orows)
     assert value_hash(rows, sdf.columns) == value_hash(orows, odf.columns)
+
+
+def test_prefix_filter_exact_at_float_boundary(spark, tmp_path):
+    """J(A,B) exactly at the threshold must survive the prefix/length
+    filters even when the threshold*size double rounds up (0.8*10 >
+    8.0): 12-token A gives 8 shingles, A+2 tokens gives 10, J = 8/10."""
+    import __spark_entry__ as E
+
+    toks_a = [f"w{i:02d}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks_a)), (2, " ".join(toks_a + ["x1", "x2"]))],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = E._bruteforce_jaccard_pairs(spark, str(tmp_path), threshold=0.8).collect()
+    assert [(r["id1"], r["id2"], r["jaccard"]) for r in out] == [(1, 2, 0.8)]
