@@ -80,3 +80,51 @@ def test_prefix_filter_exact_at_float_boundary(spark, tmp_path):
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     out = E._bruteforce_jaccard_pairs(spark, str(tmp_path), threshold=0.8).collect()
     assert [(r["id1"], r["id2"], r["jaccard"]) for r in out] == [(1, 2, 0.8)]
+
+
+def test_prefix_filter_matches_bruteforce_across_thresholds(spark, tmp_path):
+    """The prefix-filtered AllPairs plan must equal an independent pandas
+    brute force (same frozen shingle kernels) at every threshold — guards
+    the prefix-length/length-filter arithmetic, not just one operating
+    point."""
+    import itertools
+
+    import numpy as np
+
+    import __spark_entry__ as E
+    from infoscience_imports_spark.functions.shingles import text_shingles
+    from infoscience_imports_spark.functions.text import normalize_text_py
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    texts = []
+    for i in range(24):
+        n = int(rng.integers(6, 40))
+        toks = [vocab[int(x)] for x in rng.integers(0, len(vocab), n)]
+        texts.append((i, " ".join(toks)))
+        if i % 3 == 0:  # planted near-dup: drop/flip a couple of tokens
+            mod = list(toks)
+            if len(mod) > 7:
+                mod[-1] = vocab[int(rng.integers(0, len(vocab)))]
+            texts.append((100 + i, " ".join(mod)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    sh = {}
+    for i, t in texts:
+        arr = text_shingles(normalize_text_py(t), 5)
+        if arr.size:
+            sh[i] = set(arr.tolist())
+
+    for thr in (0.5, 0.6, 0.7, 0.75, 0.8, 0.9):
+        expected = set()
+        for a, b in itertools.combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= thr:
+                expected.add((a, b))
+        got = {
+            (r["id1"], r["id2"])
+            for r in E._bruteforce_jaccard_pairs(spark, str(tmp_path), threshold=thr).collect()
+        }
+        assert got == expected, (thr, got ^ expected)
