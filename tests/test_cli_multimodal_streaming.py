@@ -270,3 +270,74 @@ def test_watermark_dedup_stream(spark):
     assert got.count() == expected
     assert got.distinct().count() == expected
     shutil.rmtree(in_dir)
+
+
+def test_hll_sketch_accuracy_and_merge_semantics():
+    """The HLL fold/estimate pair must stay within the p=10 error envelope
+    and be insensitive to fold order (max-merge)."""
+    import numpy as np
+
+    from infoscience_imports_spark.streaming.stateful import _hll_estimate, _hll_fold
+
+    rng = np.random.default_rng(11)
+    p = 10
+    for true_n in (50, 1_000, 50_000):
+        # full 64-bit hashes (xxhash64 digests use the whole range; a 63-bit
+        # bound would leave half the index space permanently empty)
+        hashes = rng.integers(0, 1 << 64, true_n, dtype=np.uint64)
+        r1 = _hll_fold(np.zeros(1 << p, dtype=np.uint8), hashes, p)
+        est = _hll_estimate(r1, p)
+        assert abs(est - true_n) / true_n < 0.12, (true_n, est)
+        # incremental folding in two halves gives the same registers
+        r2 = np.zeros(1 << p, dtype=np.uint8)
+        _hll_fold(r2, hashes[: true_n // 2], p)
+        _hll_fold(r2, hashes[true_n // 2 :], p)
+        assert (r1 == r2).all()
+        # duplicates do not move the estimate
+        r3 = _hll_fold(r1.copy(), hashes, p)
+        assert (r1 == r3).all()
+
+
+def test_host_profile_stream_stateful(spark):
+    """applyInPandasWithState per-host profile: running page counts are
+    exact, distinct-digest estimates track truth across micro-batches."""
+    from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
+    from infoscience_imports_spark.streaming.stateful import host_profile_stream
+
+    in_dir = tempfile.mkdtemp(prefix="stream-hll-")
+    pages = pipeline_input(generate_web_pages(spark, 400, seed=9))
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    truth = (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.xxhash64(normalize_text_col(extract_text_col(F.col("html")))).alias("d"),
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("d").alias("u"))
+        .collect()
+    )
+    truth = {r["host"]: (r["n"], r["u"]) for r in truth}
+
+    stream = spark.readStream.schema(pages.schema).option("maxFilesPerTrigger", 4).parquet(in_dir)
+    q = (
+        host_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hostprof")
+        .outputMode("update")
+        .option("checkpointLocation", in_dir + "-ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode emits one row per host per trigger: keep the LAST emission
+    got = spark.sql(
+        "SELECT host, n_pages, approx_unique_docs FROM hostprof"
+    ).toPandas()
+    last = got.groupby("host").last()
+    assert set(last.index) == set(truth)
+    for host, (n, u) in truth.items():
+        assert int(last.loc[host, "n_pages"]) == n  # exact running count
+        est = float(last.loc[host, "approx_unique_docs"])
+        assert abs(est - u) / max(1, u) < 0.25, (host, u, est)
+    shutil.rmtree(in_dir)
