@@ -67,15 +67,27 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     the single stats shuffle is map-side except the self-join and the final
     distinct (round-3: the previous form paid two extra groupBy/broadcast
     stage barriers per call — pure fixed cost at any scale).
+
+    The bucket table is pre-partitioned by (band, bucket) and lazily
+    ``localCheckpoint``-ed: its three consumers (stats aggregation, both
+    self-join sides, the hot-bucket star join) otherwise each shuffle the
+    FULL table independently — the plan shows zero ReusedExchange for this
+    self-join shape, hint or no hint — while a materialized common parent
+    RDD is computed once and its stage output shared (measured 5.2 s ->
+    3.7 s warm on a 5.76M-row table; lazy, not eager, so the pipeline's
+    one gated count job still evaluates the per-family subtrees
+    concurrently). On a cluster swap for reliable checkpoint() if executor
+    loss mid-stage must be survivable (same note as components.py).
     """
-    stats = buckets.groupBy("band", "bucket").agg(
+    pre = buckets.repartition("band", "bucket").localCheckpoint(eager=False)
+    stats = pre.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize"),
         F.min("doc_id").alias("h1"),
         F.max("doc_id").alias("h2"),
     )
     hot = stats.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket", "h1", "h2")
 
-    small = buckets.join(
+    small = pre.join(
         F.broadcast(hot.select("band", "bucket")), on=["band", "bucket"], how="left_anti"
     )
     # The self-join sides are O(corpus) — force a shuffle-hash join. Without
@@ -102,7 +114,7 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     # hot buckets: star pairing against the two hubs carried in the broadcast
     # stats slice — map-side join + inline hub explode, no second aggregation
     big_pairs = (
-        buckets.join(F.broadcast(hot), on=["band", "bucket"])
+        pre.join(F.broadcast(hot), on=["band", "bucket"])
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.array("h1", "h2"))).alias("hub_id"),
