@@ -316,6 +316,38 @@ def q_dedup_simhash_title(spark, sf_dir):
     )
 
 
+def q_containment_substring(spark, sf_dir):
+    """Exact-substring containment pass (G1, ``harvester.py:683-689``
+    analogue) made oracle-checkable: bottom-k sketch candidates -> Bloom
+    prefiltered posting join -> Arrow verify (shingle containment + exact
+    Rabin-Karp substring). At ``containment_threshold=1.0`` candidate recall
+    is provably 1.0 — full containment means ALL of small's shingles (hence
+    all its bottom-k hashes) appear in big — so the sketch path equals the
+    brute-force DuckDB twin exactly. The sketch floor (small needs >=
+    ``bottomk_min_match`` shingles to ever match) is part of the operator
+    contract and mirrored in the oracle."""
+    from dataclasses import replace
+
+    from infoscience_imports_spark.operators.containment import (
+        containment_candidates,
+        containment_edges,
+    )
+
+    cfg = replace(CFG, containment_threshold=1.0)
+    docs = _doc_norm(
+        _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    ).cache()
+    sg = sigs.compute_signatures(docs, cfg, text_col="text_norm", id_col="doc_id")
+    cand = containment_candidates(
+        sg.select("doc_id", "bottomk", "n_shingles"),
+        docs.select("doc_id", "text_norm"),
+        cfg,
+    )
+    return containment_edges(cand, docs, cfg).select(
+        "id1", "id2", F.round("jaccard", 6).alias("containment")
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -798,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_title": q_dedup_simhash_title,
+        "containment_substring": q_containment_substring,
         "text_token_stats": q_text_token_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -954,6 +987,33 @@ def oracle_sql() -> dict[str, str]:
             FROM pf a JOIN pf b ON a.doc_id < b.doc_id AND a.ps = b.ps
         """,
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE} {jac_select}",
+        # brute-force twin of the sketch-candidate containment pass: full
+        # shingle containment + exact substring on the SAME frozen
+        # normalization; len(a.s) >= 6 mirrors the bottomk_min_match sketch
+        # floor (a doc with fewer shingles can never clear the candidate
+        # gate, by contract)
+        "containment_substring": f"""
+            WITH t AS (
+              SELECT doc_id, {_NORM_SQL.format(col='text')} AS tn,
+                     {_TOKS_SQL.format(col='text')} AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id, tn,
+                     list_distinct(list_transform(range(1, len(tk) - 3),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                            || tk[i+3] || ' ' || tk[i+4])) AS s
+              FROM t WHERE len(tk) >= 5)
+            SELECT least(a.doc_id, b.doc_id) AS id1,
+                   greatest(a.doc_id, b.doc_id) AS id2,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+                     AS containment
+            FROM sh a JOIN sh b
+              ON a.doc_id <> b.doc_id
+             AND len(b.s) > len(a.s)
+             AND len(a.s) >= 6
+            WHERE len(list_intersect(a.s, b.s)) = len(a.s)
+              AND position(a.tn IN b.tn) > 0
+        """,
         "dedup_clusters": f"""
             -- min-label propagation unrolled (planted components have tiny
             -- diameter; 4 rounds is 2x headroom over the largest chain)
