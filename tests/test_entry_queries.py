@@ -17,6 +17,7 @@ SUBSET = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "containment_substring",
     "text_lang_id",
     "text_quality",
     "ann_cosine_topk",
