@@ -96,11 +96,21 @@ def main() -> None:
         for name in HEADLINE:
             run_noop(qs[name](spark, warm_dir))
 
+    # min-wins per query (same noise-filter protocol as the webdedup attempts
+    # below and bench_scaling.py): this shared host shows sporadic multi-second
+    # stalls that land on random queries — single-shot timings recorded 62 s
+    # for a query that times 4 s on the very next run of the same session.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    steal0 = _host_steal_ticks()
+    bench_t0 = time.monotonic()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        run_noop(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.monotonic()
+            run_noop(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     # full dedup pipeline throughput on the synthetic web corpus.
     # Materialize the corpus first — generation is Python-heavy and must not
@@ -132,6 +142,9 @@ def main() -> None:
     shutil.rmtree(corpus_dir, ignore_errors=True)
     timings["webdedup_pipeline_20k"] = round(wall, 3)
 
+    bench_wall = time.monotonic() - bench_t0
+    steal = (_host_steal_ticks() - steal0) / 100.0
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -144,9 +157,44 @@ def main() -> None:
                 "webdedup_pages": WEBDEDUP_PAGES,
                 "webdedup_pages_per_sec": round(WEBDEDUP_PAGES / wall, 1),
                 "cpus": cpus,
+                # noise forensics for this shared host: per-query timings are
+                # min-of-N attempts; steal is hypervisor CPU stolen from the
+                # whole host (core-seconds) across the timed window, and
+                # cpu_parallel_efficiency is a pure-Python N-way busy-loop
+                # ratio (1.0 = the N vCPUs are backed by N real cores)
+                "protocol": f"min-of-{max(1, repeats)} per query",
+                "host_steal_coresec": round(steal, 1),
+                "cpu_parallel_efficiency": _cpu_parallel_efficiency(cpus),
             }
         )
     )
+
+
+def _host_steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
+def _burn(k: int) -> float:
+    t0 = time.monotonic()
+    x = 0
+    for i in range(k):
+        x += i * i
+    return time.monotonic() - t0
+
+
+def _cpu_parallel_efficiency(workers: int, n: int = 8_000_000) -> float:
+    """Wall(1 proc) / Wall(N procs each doing the same work) — 1.0 is ideal."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    solo = _burn(n)
+    t0 = time.monotonic()
+    with ProcessPoolExecutor(workers) as ex:
+        list(ex.map(_burn, [n] * workers, chunksize=1))
+    return round(solo / (time.monotonic() - t0), 3)
 
 
 if __name__ == "__main__":
