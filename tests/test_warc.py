@@ -1,0 +1,118 @@
+"""WARC source: parser unit tests + Spark read + pipeline-input handoff."""
+
+import gzip
+import io
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from infoscience_imports_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    warc_pipeline_input,
+    write_warc,
+)
+
+RECORDS = [
+    {
+        "url": f"https://example.org/page/{i}",
+        "warc_ts": pd.Timestamp("2026-03-01T08:00:00Z") + pd.Timedelta(minutes=i),
+        "html": (
+            f'<html><body><main id="content"><p>document {i} body text</p>'
+            "</main></body></html>"
+        ).encode(),
+    }
+    for i in range(7)
+]
+
+
+def _warc_bytes(records) -> bytes:
+    buf = io.BytesIO()
+    write_warc(records, buf)
+    return buf.getvalue()
+
+
+def test_roundtrip_single_file_parser():
+    out = list(iter_warc_records(io.BytesIO(_warc_bytes(RECORDS)), "mem"))
+    assert len(out) == len(RECORDS)
+    for rec, src in zip(out, RECORDS):
+        assert rec["url"] == src["url"]
+        assert rec["warc_type"] == "response"
+        assert rec["html"] == src["html"]  # HTTP envelope stripped
+        assert rec["warc_ts"] == src["warc_ts"].tz_convert("UTC").tz_localize(None)
+    assert [r["record_offset"] for r in out] == list(range(len(RECORDS)))
+
+
+def test_parser_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError, match="boundary"):
+        list(iter_warc_records(io.BytesIO(b"NOT A WARC\r\n\r\n")))
+    good = _warc_bytes(RECORDS[:1])
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(io.BytesIO(good[:-20])))
+
+
+def test_non_response_records_keep_raw_payload():
+    blob = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Date: 2026-03-01T00:00:00Z\r\n"
+        b"Content-Length: 9\r\n"
+        b"\r\n"
+        b"info body"
+        b"\r\n\r\n"
+    ) + _warc_bytes(RECORDS[:2])
+    out = list(iter_warc_records(io.BytesIO(blob)))
+    assert [r["warc_type"] for r in out] == ["warcinfo", "response", "response"]
+    assert out[0]["html"] == b"info body"  # no HTTP envelope to strip
+    assert out[0]["url"] is None
+
+
+def test_spark_read_plain_and_gzip(spark, tmp_path):
+    # file 1: plain .warc; file 2: member-per-record .warc.gz (Common Crawl
+    # convention: each record its own gzip member, concatenated)
+    (tmp_path / "a.warc").write_bytes(_warc_bytes(RECORDS[:4]))
+    with open(tmp_path / "b.warc.gz", "wb") as f:
+        for rec in RECORDS[4:]:
+            f.write(gzip.compress(_warc_bytes([rec])))
+
+    df = read_warc(spark, os.path.join(str(tmp_path), "*.warc*"))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == len(RECORDS)
+    for src in RECORDS:
+        got = rows[src["url"]]
+        assert bytes(got["html"]) == src["html"]
+        assert got["warc_ts"] == src["warc_ts"].tz_convert("UTC").tz_localize(None)
+        assert got["warc_type"] == "response"
+    # both files contributed, and offsets restart per file
+    assert {os.path.basename(r["source_file"]) for r in rows.values()} == {
+        "a.warc",
+        "b.warc.gz",
+    }
+
+    # record-type filter: () keeps everything (here: all responses anyway)
+    assert read_warc(spark, os.path.join(str(tmp_path), "*.warc*"), record_types=()).count() == 7
+
+
+def test_warc_feeds_the_pipeline_input_contract(spark, tmp_path):
+    (tmp_path / "c.warc").write_bytes(_warc_bytes(RECORDS))
+    inp = warc_pipeline_input(read_warc(spark, str(tmp_path / "c.warc")))
+    assert inp.columns == ["url", "warc_ts", "html", "text", "lang"]
+    # the extract stage's exact transformation applies cleanly
+    from infoscience_imports_spark.functions.text import (
+        extract_text_col,
+        normalize_text_col,
+    )
+
+    texts = inp.select(
+        normalize_text_col(extract_text_col(F.col("html"))).alias("t")
+    ).collect()
+    assert sorted(r["t"] for r in texts) == sorted(
+        f"document {i} body text" for i in range(len(RECORDS))
+    )
+
+
+def test_missing_glob_raises(spark):
+    with pytest.raises(FileNotFoundError):
+        read_warc(spark, "/nonexistent/dir/*.warc")
