@@ -39,7 +39,12 @@ def cmd_run(args: argparse.Namespace) -> int:
         shuffle_partitions=args.shuffle_partitions
         or int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from .sources.warc import read_warc, warc_pipeline_input
+
+        pages = warc_pipeline_input(read_warc(spark, args.input))
+    else:
+        pages = spark.read.parquet(args.input)
     store = CheckpointStore(spark, args.warehouse, run_id=args.run_id)
     pipe = DedupPipeline(
         spark, store, cfg, input_fingerprint=chain_fingerprint("input", args.input)
@@ -85,7 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_run = sub.add_parser("run", help="run the dedup pipeline")
-    p_run.add_argument("--input", required=True)
+    p_run.add_argument("--input", required=True,
+                       help="parquet dir, or a WARC glob with --input-format warc")
+    p_run.add_argument("--input-format", default="parquet", choices=("parquet", "warc"))
     p_run.add_argument("--warehouse", required=True)
     p_run.add_argument("--stage", default="all", choices=("all",) + STAGES)
     p_run.add_argument("--resume", action="store_true")
