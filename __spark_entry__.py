@@ -348,6 +348,42 @@ def q_containment_substring(spark, sf_dir):
     )
 
 
+_MESSY_URL_SQL = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/' || CAST(doc_id AS STRING)
+                  || '/?utm_source=t&z=1&a=' || CAST(doc_id % 7 AS STRING) || '#frag'
+      WHEN 1 THEN 'https://sub.' || source || '.example.co.uk/path/' || CAST(doc_id AS STRING) || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com'
+      ELSE 'HTTPS://' || source || '.EXAMPLE.com:8080/b?fbclid=x&q=' || CAST(doc_id % 5 AS STRING)
+    END
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization kernel (web analogue of the reference DOI
+    normalization, ``normalize_doi`` family): deterministic messy URLs are
+    constructed from the documents table (same expression in the DuckDB
+    twin), then canonicalized by the pure-Column kernel — scheme/host
+    case-fold, www-strip, default-port strip, tracking-param drop +
+    byte-sort, fragment and trailing-slash removal — plus host and
+    registered-domain extraction. The oracle states the expected canonical
+    string analytically, so this is an independent-expectation check of
+    the kernel, not a twin of its implementation."""
+    from infoscience_imports_spark.functions.urls import (
+        canonical_url_col,
+        registered_domain_col,
+        url_host_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_MESSY_URL_SQL))
+    return docs.select(
+        "doc_id",
+        canonical_url_col(F.col("url")).alias("url_canon"),
+        url_host_col(F.col("url")).alias("host"),
+        registered_domain_col(F.col("url")).alias("reg_domain"),
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -831,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_title": q_dedup_simhash_title,
         "containment_substring": q_containment_substring,
+        "url_canonicalize": q_url_canonicalize,
         "text_token_stats": q_text_token_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1013,6 +1050,28 @@ def oracle_sql() -> dict[str, str]:
              AND len(a.s) >= 6
             WHERE len(list_intersect(a.s, b.s)) = len(a.s)
               AND position(a.tn IN b.tn) > 0
+        """,
+        # analytic expectation (not an implementation twin): the messy URL
+        # is built by the same expression as the Spark side, but the
+        # canonical result is spelled out directly per case
+        "url_canonicalize": """
+            SELECT doc_id,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'http://' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+                            || '?a=' || CAST(doc_id % 7 AS VARCHAR) || '&z=1'
+                WHEN 1 THEN 'https://sub.' || source || '.example.co.uk/path/' || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN 'https://' || source || '.example.com'
+                ELSE 'https://' || source || '.example.com:8080/b?q=' || CAST(doc_id % 5 AS VARCHAR)
+              END AS url_canon,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 1 THEN 'sub.' || source || '.example.co.uk'
+                ELSE source || '.example.com'
+              END AS host,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 1 THEN 'example.co.uk'
+                ELSE 'example.com'
+              END AS reg_domain
+            FROM documents
         """,
         "dedup_clusters": f"""
             -- min-label propagation unrolled (planted components have tiny
