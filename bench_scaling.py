@@ -69,11 +69,13 @@ def worker(cores: int, corpus: str) -> None:
     n = pages.count()
     wh = tempfile.mkdtemp(prefix=f"scale-{cores}-")
     pipe = DedupPipeline(spark, CheckpointStore(spark, wh), cfg, input_fingerprint="scale")
+    eff_before = _cpu8_efficiency()
     steal0 = _host_steal_ticks()
     t0 = time.monotonic()
     res = pipe.run(pages, resume=False)
     wall = time.monotonic() - t0
     steal = (_host_steal_ticks() - steal0) / 100.0  # ticks are 10 ms
+    eff_after = _cpu8_efficiency()
     print(
         "WORKER_RESULT "
         + json.dumps(
@@ -86,6 +88,11 @@ def worker(cores: int, corpus: str) -> None:
                 # timed window: the shared-host noise forensic for this
                 # attempt — >~5% of cores*wall marks a polluted window
                 "host_steal_coresec": round(steal, 1),
+                # busy-loop parallel efficiency sampled before/after the
+                # timed window: catches the contention regimes where vCPUs
+                # are throttled without the hypervisor reporting steal
+                # (observed: probe 0.35 with steal ~1% on the same host)
+                "cpu8_eff": [eff_before, eff_after],
                 "stages": {k: round(v, 2) for k, v in res.timings.items()},
             }
         ),
@@ -99,6 +106,14 @@ def _host_steal_ticks() -> int:
             return int(f.readline().split()[8])
     except Exception:
         return 0
+
+
+def _cpu8_efficiency() -> float:
+    """Fixed 8-worker busy-loop parallel-efficiency probe (same metric at
+    every leg regardless of the leg's Spark core count, so legs compare)."""
+    import bench
+
+    return bench._cpu_parallel_efficiency(8)
 
 
 def main() -> None:
@@ -169,12 +184,13 @@ def main() -> None:
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## Scaling run: {summary['pages']} pages, cores {args.cores}\n\n"
-            "| cores | wall (s) | pages/sec | host steal (core-s) | stages |\n|---|---|---|---|---|\n"
+            "| cores | wall (s) | pages/sec | host steal (core-s) | cpu8 eff pre/post | stages |\n|---|---|---|---|---|---|\n"
         )
         for r in results:
             f.write(
                 f"| {r['cores']} | {r['wall_sec']} | {r['pages_per_sec']} | "
                 f"{r.get('host_steal_coresec', 'n/a')} | "
+                f"{'/'.join(str(e) for e in r.get('cpu8_eff', [])) or 'n/a'} | "
                 f"`{json.dumps(r['stages'])}` |\n"
             )
         f.write(
