@@ -141,6 +141,18 @@ def read_warc(
     paths = sorted(_glob.glob(path_glob))
     if not paths:
         raise FileNotFoundError(f"no WARC files match {path_glob!r}")
+    return read_warc_paths(spark, paths, record_types, batch_bytes)
+
+
+def read_warc_paths(
+    spark: SparkSession,
+    paths: list[str],
+    record_types: tuple[str, ...] = ("response",),
+    batch_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Same as :func:`read_warc` over an explicit path list (e.g. the paths
+    of one streaming micro-batch). ``file:`` URIs are accepted."""
+    paths = [p[len("file:"):] if p.startswith("file:") else p for p in paths]
     sc = spark.sparkContext
     path_df = spark.createDataFrame(
         [(p,) for p in paths], StructType([StructField("path", StringType(), False)])

@@ -176,6 +176,47 @@ class IncrementalDedup:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_warc(
+        self,
+        input_dir: str,
+        trigger_available_now: bool = True,
+        pattern: str = "*.warc*",
+        max_files_per_trigger: int = 8,
+    ):
+        """Stream WARC archives landing in a directory through the same
+        per-batch dedup. The stream itself carries file PATHS only: the
+        ``binaryFile`` source is projected to ``path`` before any action,
+        and column pruning keeps it from ever materializing archive bytes
+        JVM-side — record parsing happens in the WARC source's Arrow kernel
+        (sources/warc.py), exactly as in batch mode."""
+        from ..sources.warc import read_warc_paths, warc_pipeline_input
+
+        stream = (
+            self.spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("pathGlobFilter", pattern)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(input_dir)
+        )
+
+        def batch_fn(df: DataFrame, batch_id: int) -> None:
+            paths = [r["path"] for r in df.select("path").collect()]
+            if not paths:
+                return
+            pages = warc_pipeline_input(read_warc_paths(self.spark, paths))
+            self.process_batch(pages, batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def unique_docs(self) -> DataFrame:
         return self.spark.read.parquet(self.new_dir)
 

@@ -116,3 +116,43 @@ def test_warc_feeds_the_pipeline_input_contract(spark, tmp_path):
 def test_missing_glob_raises(spark):
     with pytest.raises(FileNotFoundError):
         read_warc(spark, "/nonexistent/dir/*.warc")
+
+
+def test_warc_streaming_incremental_dedup(spark, tmp_path):
+    """WARC archives landing in a dir stream through the incremental dedup:
+    paths-only binaryFile stream, Arrow-kernel parse, digest state across
+    batches."""
+    import shutil
+    import tempfile
+
+    from infoscience_imports_spark.config import DedupConfig
+    from infoscience_imports_spark.streaming.incremental import IncrementalDedup
+
+    def page(i, tag=""):
+        body = " ".join(f"w{i}x{j}" for j in range(30))
+        return {
+            "url": f"https://stream.example/{i}{tag}",
+            "warc_ts": pd.Timestamp("2026-03-02T00:00:00Z"),
+            "html": f'<main id="content"><p>{body}</p></main>'.encode(),
+        }
+
+    in_dir = tempfile.mkdtemp(prefix="warc-stream-")
+    state = tempfile.mkdtemp(prefix="warc-state-")
+    with open(os.path.join(in_dir, "w0.warc"), "wb") as f:
+        write_warc(iter([page(i) for i in range(12)]), f)
+
+    inc = IncrementalDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    q = inc.start_warc(in_dir)
+    q.awaitTermination(300)
+    assert inc.unique_docs().count() == 12
+
+    # second wave: 4 new pages + 6 exact re-crawls -> only the 4 admitted
+    with open(os.path.join(in_dir, "w1.warc"), "wb") as f:
+        write_warc(iter([page(i) for i in range(12, 16)] + [page(i, "-re") for i in range(6)]), f)
+    inc.checkpoint_dir = inc.checkpoint_dir  # same checkpoint: only new files picked up
+    q2 = inc.start_warc(in_dir)
+    q2.awaitTermination(300)
+    assert inc.unique_docs().count() == 16  # re-crawled bodies (new urls, same text) rejected
+
+    shutil.rmtree(in_dir)
+    shutil.rmtree(state)
