@@ -86,6 +86,18 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
         F.max("doc_id").alias("h2"),
     )
     hot = stats.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket", "h1", "h2")
+    # The hot slice has THREE broadcast consumers (two anti-joins + the star
+    # join). Left as a plan subtree, each broadcast build re-aggregates and
+    # re-shuffles the full bucket table — and bucket keys are near-unique on
+    # non-duplicate content, so the partial agg barely compresses that
+    # shuffle (measured: 3 full-table stats exchanges per candidate_pairs
+    # call, zero reuse). One bounded collect turns all three into literal
+    # broadcasts; corpora with a pathological hot-bucket count (measured,
+    # not guessed: limit+1 probe) keep the subtree form — driver memory is
+    # bounded either way.
+    hot_rows = hot.limit(cfg.hot_collect_limit + 1).collect()
+    if len(hot_rows) <= cfg.hot_collect_limit:
+        hot = buckets.sparkSession.createDataFrame(hot_rows, schema=hot.schema)
 
     small = pre.join(
         F.broadcast(hot.select("band", "bucket")), on=["band", "bucket"], how="left_anti"
