@@ -214,7 +214,7 @@ def similar_pairs(
         ]
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
