@@ -9,6 +9,17 @@ JSON line::
 Also times the full web-dedup pipeline (extract -> components) over a
 deterministic 20k-page synthetic corpus and reports pages/sec — the
 throughput number BENCH/BASELINE.md tracks across rounds.
+
+Probe gate (round-3 verdict #1): this shared host has oscillating CPU
+contention that single-shot timings cannot survive — the round-3 driver
+artifact was recorded in a window reading 0.336 parallel efficiency and
+showed a phantom 2.2x regression. Before the timed section this harness now
+probes the busy-loop parallel efficiency and WAITS (bounded attempts,
+``SPARK_GRAFT_BENCH_MIN_EFF`` / ``SPARK_GRAFT_BENCH_PROBE_ATTEMPTS``) until
+the window reads clean; if it never does, it still emits — with
+``window_clean: false`` and the full probe history in the JSON — so the
+artifact carries its own admissibility verdict instead of needing a ledger
+footnote.
 """
 
 from __future__ import annotations
@@ -96,6 +107,27 @@ def main() -> None:
         for name in HEADLINE:
             run_noop(qs[name](spark, warm_dir))
 
+    # probe gate: refuse to start the timed window while the host is in a
+    # contended regime (round-3 verdict #1 — the canonical artifact must not
+    # need a ledger footnote to read). Bounded attempts; emits either way,
+    # with the probe history and a window_clean verdict embedded.
+    min_eff = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_EFF", "0.85"))
+    probe_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "10"))
+    probe_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_SLEEP", "45"))
+    probes: list[float] = []
+    for attempt in range(max(1, probe_attempts)):
+        eff = _cpu_parallel_efficiency(cpus)
+        probes.append(eff)
+        if eff >= min_eff:
+            break
+        print(
+            f"[bench] contended window (parallel efficiency {eff} < {min_eff}), "
+            f"attempt {attempt + 1}/{probe_attempts}; sleeping {probe_sleep}s",
+            file=sys.stderr,
+        )
+        time.sleep(probe_sleep)
+    window_clean = probes[-1] >= min_eff
+
     # min-wins per query (same noise-filter protocol as the webdedup attempts
     # below and bench_scaling.py): this shared host shows sporadic multi-second
     # stalls that land on random queries — single-shot timings recorded 62 s
@@ -111,6 +143,10 @@ def main() -> None:
             run_noop(qs[name](spark, sf_dir))
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+        # queries that cache helper frames register them for release; a
+        # long-lived session running the whole suite must not accumulate
+        # per-query caches (round-3 verdict #5 / wrong #3)
+        entry_mod.release_caches()
 
     # full dedup pipeline throughput on the synthetic web corpus.
     # Materialize the corpus first — generation is Python-heavy and must not
@@ -165,6 +201,13 @@ def main() -> None:
                 "protocol": f"min-of-{max(1, repeats)} per query",
                 "host_steal_coresec": round(steal, 1),
                 "cpu_parallel_efficiency": _cpu_parallel_efficiency(cpus),
+                # probe-gate verdict: pre-window efficiency probes (the gate
+                # waited for the last one to clear min_eff, or exhausted its
+                # attempts) — cpu_parallel_efficiency above is the POST-window
+                # probe; both >= min_eff means the whole window was clean
+                "window_probes": probes,
+                "window_clean": window_clean,
+                "min_eff_gate": min_eff,
             }
         )
     )

@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..caching import persist_tracked
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..functions.shingles import shingle_hashes, token_hashes
 from ..functions.substring import contains_substring
@@ -178,7 +179,8 @@ def containment_candidates(
         F.col("doc_id").alias("small_id"),
         F.col("n_shingles").alias("small_n"),
         F.explode("bottomk").alias("sh"),
-    ).persist()
+    )
+    bk = persist_tracked(bk)
     if n_docs_hint is not None:
         n_bk = n_docs_hint * cfg.bottomk
     else:

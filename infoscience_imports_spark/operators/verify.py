@@ -16,8 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..caching import persist_tracked
 from ..config import DedupConfig, DEFAULT_CONFIG
 
 EDGE_COLUMNS = ["id1", "id2", "jaccard", "rule"]
@@ -44,7 +44,7 @@ def gate_broadcast(pairs: DataFrame, limit_rows: int) -> DataFrame:
 def gate_broadcast_info(pairs: DataFrame, limit_rows: int) -> tuple[DataFrame, bool]:
     """:func:`gate_broadcast` plus the gate's decision, for callers that
     chain further joins under the same size bound."""
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = persist_tracked(pairs)
     n = pairs.count()
     small = n <= limit_rows
     return (pairs.hint("broadcast") if small else pairs), small
