@@ -42,7 +42,9 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.input_format == "warc":
         from .sources.warc import read_warc, warc_pipeline_input
 
-        pages = warc_pipeline_input(read_warc(spark, args.input))
+        pages = warc_pipeline_input(
+            read_warc(spark, args.input, strict=not args.warc_tolerant)
+        )
     else:
         pages = spark.read.parquet(args.input)
     store = CheckpointStore(spark, args.warehouse, run_id=args.run_id)
@@ -93,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--input", required=True,
                        help="parquet dir, or a WARC glob with --input-format warc")
     p_run.add_argument("--input-format", default="parquet", choices=("parquet", "warc"))
+    p_run.add_argument(
+        "--warc-tolerant",
+        action="store_true",
+        help="dead-letter corrupt WARC members instead of failing the job "
+        "(real-crawl inputs; see sources/warc.py read_warc_paths)",
+    )
     p_run.add_argument("--warehouse", required=True)
     p_run.add_argument("--stage", default="all", choices=("all",) + STAGES)
     p_run.add_argument("--resume", action="store_true")

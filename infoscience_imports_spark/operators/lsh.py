@@ -74,10 +74,16 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     FULL table independently — the plan shows zero ReusedExchange for this
     self-join shape, hint or no hint — while a materialized common parent
     RDD is computed once and its stage output shared (measured 5.2 s ->
-    3.7 s warm on a 5.76M-row table; lazy, not eager, so the pipeline's
-    one gated count job still evaluates the per-family subtrees
-    concurrently). On a cluster swap for reliable checkpoint() if executor
-    loss mid-stage must be survivable (same note as components.py).
+    3.7 s warm on a 5.76M-row table). On a cluster swap for reliable
+    checkpoint() if executor loss mid-stage must be survivable (same note
+    as components.py).
+
+    NOT fully lazy: the hot-slice probe below runs a bounded Spark job
+    (limit+1 collect) at plan-construction time, which also materializes
+    the localCheckpoint. Callers building speculative plans pay that probe
+    even if the returned frame is never executed; in the common
+    hot_collect_limit-exceeded-free case the cost is the bucket-table
+    stage they would pay anyway, paid early.
     """
     pre = buckets.repartition("band", "bucket").localCheckpoint(eager=False)
     stats = pre.groupBy("band", "bucket").agg(

@@ -33,6 +33,7 @@ from __future__ import annotations
 import glob as _glob
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,17 +55,45 @@ WARC_SCHEMA = StructType(
         StructField("warc_ts", TimestampType(), True),
         StructField("html", BinaryType(), True),
         StructField("warc_type", StringType(), True),
-        StructField("record_offset", LongType(), True),
+        StructField("record_index", LongType(), True),
+        StructField("byte_offset", LongType(), True),
         StructField("source_file", StringType(), True),
+        StructField("defect", StringType(), True),
     ]
 )
 
 
-def _read_headers(fh: io.BufferedIOBase) -> dict[str, str] | None:
-    """Read a WARC header block (terminated by an empty line). None at EOF."""
+class _CountingReader:
+    """Wrap a byte stream and count consumed bytes — gives each record its
+    start offset in the *uncompressed* stream. For a plain ``.warc`` that is
+    the file byte offset (range-fetch usable, the Common-Crawl-index
+    convention); for ``.warc.gz`` it is the post-inflate position (member
+    byte offsets in the compressed file would need member boundaries, which
+    a streaming multi-member inflate does not expose — documented limit)."""
+
+    def __init__(self, fh: io.BufferedIOBase) -> None:
+        self._fh = fh
+        self.pos = 0
+
+    def readline(self) -> bytes:
+        b = self._fh.readline()
+        self.pos += len(b)
+        return b
+
+    def read(self, n: int = -1) -> bytes:
+        b = self._fh.read(n)
+        self.pos += len(b)
+        return b
+
+
+def _read_headers(fh: _CountingReader) -> tuple[dict[str, str], int] | None:
+    """Read a WARC header block (terminated by an empty line), returning
+    (headers, byte offset of the ``WARC/`` line). None at EOF."""
+    start = fh.pos
     line = fh.readline()
     # skip record separators between blocks
     while line in (b"\r\n", b"\n"):
+        start = fh.pos
         line = fh.readline()
     if not line:
         return None
@@ -74,35 +103,92 @@ def _read_headers(fh: io.BufferedIOBase) -> dict[str, str] | None:
     while True:
         line = fh.readline()
         if line in (b"\r\n", b"\n", b""):
-            return headers
+            return headers, start
         k, _, v = line.decode("utf-8", "replace").partition(":")
         headers[k.strip().lower()] = v.strip()
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body (trailers and
+    chunk extensions ignored per RFC 9112 §7.1)."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing chunk-size line")
+        size = int(body[pos:nl].split(b";", 1)[0].strip() or b"0", 16)
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if len(body) < pos + size:
+            raise ValueError("chunked body: truncated chunk data")
+        out.append(body[pos : pos + size])
+        pos += size + 2  # chunk data + trailing CRLF
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Strip the HTTP response envelope from a 'response' record payload."""
-    if payload.startswith(b"HTTP/"):
-        sep = payload.find(b"\r\n\r\n")
-        if sep >= 0:
-            return payload[sep + 4 :]
-    return payload
+    """Decode the HTTP response envelope of a 'response' record payload.
+
+    Real Common Crawl response records are raw wire captures: bodies are
+    frequently ``Transfer-Encoding: chunked`` and/or ``Content-Encoding:
+    gzip``/``deflate`` — returning those bytes as 'html' silently feeds
+    garbage to the extract stage. This parses the response headers,
+    de-chunks, then decompresses gzip/x-gzip/deflate (both zlib-wrapped and
+    the raw-deflate server bug). Unsupported codings (``br``, ``zstd`` — no
+    codec in this container) and malformed encodings fall back to the raw
+    body bytes rather than failing the record: a defect in one page's
+    envelope must not kill an archive-sized task.
+    """
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload
+    body = payload[sep + 4 :]
+    headers: dict[str, str] = {}
+    for line in payload[:sep].decode("latin-1", "replace").split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip().lower()
+    try:
+        if "chunked" in headers.get("transfer-encoding", ""):
+            body = _dechunk(body)
+        ce = headers.get("content-encoding", "")
+        if ce in ("gzip", "x-gzip"):
+            body = gzip.decompress(body)
+        elif ce == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+        return body
+    except (ValueError, zlib.error, OSError):
+        return payload[sep + 4 :]
 
 
 def iter_warc_records(
     fh: io.BufferedIOBase, source_file: str = ""
 ) -> Iterator[dict]:
-    """Stream (url, warc_ts, html, warc_type, record_offset) dicts.
+    """Stream (url, warc_ts, html, warc_type, record_index, byte_offset)
+    dicts.
 
     Pure-Python single-file parser — the unit the Spark kernel maps over,
-    and independently unit-testable without Spark.
+    and independently unit-testable without Spark. ``byte_offset`` is the
+    uncompressed-stream offset of each record's ``WARC/`` line (see
+    :class:`_CountingReader`); ``record_index`` is the 0-based ordinal
+    within the file. Raises ``ValueError`` on a malformed boundary or a
+    truncated record — callers wanting parse-until-defect semantics wrap
+    this (see ``read_warc_paths(strict=False)``).
     """
-    offset = 0
+    cr = _CountingReader(fh)
+    index = 0
     while True:
-        headers = _read_headers(fh)
-        if headers is None:
+        parsed = _read_headers(cr)
+        if parsed is None:
             return
+        headers, start = parsed
         length = int(headers.get("content-length", "0"))
-        payload = fh.read(length)
+        payload = cr.read(length)
         if len(payload) < length:
             raise ValueError(f"truncated WARC record in {source_file!r}")
         rtype = headers.get("warc-type", "")
@@ -115,10 +201,12 @@ def iter_warc_records(
             "warc_ts": t,
             "html": _http_body(payload) if rtype == "response" else payload,
             "warc_type": rtype,
-            "record_offset": offset,
+            "record_index": index,
+            "byte_offset": start,
             "source_file": source_file,
+            "defect": None,
         }
-        offset += 1
+        index += 1
 
 
 def _open_warc(path: str) -> io.BufferedIOBase:
@@ -132,16 +220,19 @@ def read_warc(
     path_glob: str,
     record_types: tuple[str, ...] = ("response",),
     batch_bytes: int = 32 << 20,
+    strict: bool = True,
 ) -> DataFrame:
     """WARC archive glob -> DataFrame in the pipeline input family.
 
     ``record_types`` keeps only the listed WARC-Type values ('response' by
     default — the crawl payloads); pass ``()`` to keep every record.
+    ``strict=False`` turns parse failures into dead-letter rows (see
+    :func:`read_warc_paths`).
     """
     paths = sorted(_glob.glob(path_glob))
     if not paths:
         raise FileNotFoundError(f"no WARC files match {path_glob!r}")
-    return read_warc_paths(spark, paths, record_types, batch_bytes)
+    return read_warc_paths(spark, paths, record_types, batch_bytes, strict)
 
 
 def read_warc_paths(
@@ -149,9 +240,21 @@ def read_warc_paths(
     paths: list[str],
     record_types: tuple[str, ...] = ("response",),
     batch_bytes: int = 32 << 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Same as :func:`read_warc` over an explicit path list (e.g. the paths
-    of one streaming micro-batch). ``file:`` URIs are accepted."""
+    of one streaming micro-batch). ``file:`` URIs are accepted.
+
+    ``strict=True`` (default) re-raises parse errors, failing the task —
+    right for fixtures you control. ``strict=False`` is the real-crawl mode:
+    corrupt members are routine in archive corpora, and one bad file must
+    not kill the job after exhausting task retries. A failing file yields
+    its good records up to the defect, then ONE dead-letter row
+    (``warc_type='__defect__'``, error text in ``defect``, good rows keep
+    ``defect`` null) — the same report-as-data discipline as the REST sink's
+    dead-letter rows (rest_sink.py), so defect counts are a ``filter`` away:
+    ``df.filter("warc_type = '__defect__'")``.
+    """
     paths = [p[len("file:"):] if p.startswith("file:") else p for p in paths]
     sc = spark.sparkContext
     path_df = spark.createDataFrame(
@@ -164,15 +267,33 @@ def read_warc_paths(
             rows: list[dict] = []
             held = 0
             for path in pdf["path"]:
-                with _open_warc(path) as fh:
-                    for rec in iter_warc_records(fh, source_file=path):
-                        if keep and rec["warc_type"] not in keep:
-                            continue
-                        rows.append(rec)
-                        held += len(rec["html"] or b"")
-                        if held >= batch_bytes:
-                            yield pd.DataFrame(rows)
-                            rows, held = [], 0
+                try:
+                    with _open_warc(path) as fh:
+                        for rec in iter_warc_records(fh, source_file=path):
+                            if keep and rec["warc_type"] not in keep:
+                                continue
+                            rows.append(rec)
+                            held += len(rec["html"] or b"")
+                            if held >= batch_bytes:
+                                yield pd.DataFrame(rows)
+                                rows, held = [], 0
+                except (ValueError, OSError, EOFError) as exc:
+                    # ValueError: bad boundary/truncation/bad Content-Length;
+                    # OSError covers BadGzipFile/IO; EOFError: gzip mid-member
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "url": None,
+                            "warc_ts": None,
+                            "html": None,
+                            "warc_type": "__defect__",
+                            "record_index": -1,
+                            "byte_offset": -1,
+                            "source_file": path,
+                            "defect": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -182,7 +303,10 @@ def read_warc_paths(
 def warc_pipeline_input(warc_df: DataFrame) -> DataFrame:
     """Project WARC records to the pipeline's (url, warc_ts, html, text,
     lang) input view (text/lang unknown at ingest — the extract stage fills
-    text; lang stays null unless a classifier runs)."""
+    text; lang stays null unless a classifier runs). Dead-letter rows from
+    tolerant reads are dropped — they are defect reports, not pages."""
+    if "defect" in warc_df.columns:
+        warc_df = warc_df.filter(F.col("defect").isNull())
     return warc_df.select(
         "url",
         "warc_ts",

@@ -182,13 +182,17 @@ class IncrementalDedup:
         trigger_available_now: bool = True,
         pattern: str = "*.warc*",
         max_files_per_trigger: int = 8,
+        strict: bool = False,
     ):
         """Stream WARC archives landing in a directory through the same
         per-batch dedup. The stream itself carries file PATHS only: the
         ``binaryFile`` source is projected to ``path`` before any action,
         and column pruning keeps it from ever materializing archive bytes
         JVM-side — record parsing happens in the WARC source's Arrow kernel
-        (sources/warc.py), exactly as in batch mode."""
+        (sources/warc.py), exactly as in batch mode. Defaults to the
+        tolerant read (``strict=False``): in a long-running stream one
+        corrupt archive must dead-letter, not wedge the query in a
+        fail-restart-refail loop on the same micro-batch."""
         from ..sources.warc import read_warc_paths, warc_pipeline_input
 
         stream = (
@@ -205,12 +209,19 @@ class IncrementalDedup:
             paths = [r["path"] for r in df.select("path").collect()]
             if not paths:
                 return
-            pages = warc_pipeline_input(read_warc_paths(self.spark, paths))
+            pages = warc_pipeline_input(
+                read_warc_paths(self.spark, paths, strict=strict)
+            )
             self.process_batch(pages, batch_id)
 
+        # per-source checkpoint subdir: start() and start_warc() are methods
+        # on one instance, and sharing one checkpointLocation would make the
+        # second query inherit the first's FileStreamSource seen-files/offset
+        # log for a different source format — files silently skipped or a
+        # restart failure
         writer = (
             stream.writeStream.foreachBatch(batch_fn)
-            .option("checkpointLocation", self.checkpoint_dir)
+            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "warc"))
             .outputMode("update")
         )
         if trigger_available_now:

@@ -42,7 +42,14 @@ def test_roundtrip_single_file_parser():
         assert rec["warc_type"] == "response"
         assert rec["html"] == src["html"]  # HTTP envelope stripped
         assert rec["warc_ts"] == src["warc_ts"].tz_convert("UTC").tz_localize(None)
-    assert [r["record_offset"] for r in out] == list(range(len(RECORDS)))
+    assert [r["record_index"] for r in out] == list(range(len(RECORDS)))
+    # byte_offset = actual position of each record's "WARC/" line
+    blob = _warc_bytes(RECORDS)
+    expect, pos = [], blob.find(b"WARC/")
+    while pos >= 0:
+        expect.append(pos)
+        pos = blob.find(b"WARC/", pos + 1)
+    assert [r["byte_offset"] for r in out] == expect
 
 
 def test_parser_rejects_garbage_and_truncation():
@@ -51,6 +58,81 @@ def test_parser_rejects_garbage_and_truncation():
     good = _warc_bytes(RECORDS[:1])
     with pytest.raises(ValueError, match="truncated"):
         list(iter_warc_records(io.BytesIO(good[:-20])))
+
+
+def _response_record(url: str, http: bytes) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "WARC-Date: 2026-03-01T00:00:00Z\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n"
+    ).encode("ascii")
+    return head + http + b"\r\n\r\n"
+
+
+def test_http_envelope_chunked_and_compressed():
+    """Real crawl captures are wire-format: chunked and/or gzip/deflate
+    bodies must decode to the same html the server rendered."""
+    import zlib
+
+    body = b"<html><p>wire format body</p></html>"
+    gz = gzip.compress(body)
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + b"a\r\n" + body[:10] + b"\r\n"
+        + hex(len(body) - 10)[2:].encode() + b"\r\n" + body[10:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    gzipped = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    # chunked THEN gzipped (transfer coding wraps content coding)
+    both = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    raw_deflate = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(body)[2:-4]  # the raw-deflate server bug
+    )
+    unsupported = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nBRBYTES"
+    blob = b"".join(
+        _response_record(f"https://x.example/{i}", http)
+        for i, http in enumerate([chunked, gzipped, both, raw_deflate, unsupported])
+    )
+    out = list(iter_warc_records(io.BytesIO(blob)))
+    assert [r["html"] for r in out[:4]] == [body] * 4
+    assert out[4]["html"] == b"BRBYTES"  # no br codec: raw body, not a crash
+
+
+def test_tolerant_read_dead_letters_corrupt_archives(spark, tmp_path):
+    """VERDICT r3 #6: one corrupt archive must not kill the job — tolerant
+    mode keeps the good records parsed before the defect and reports the
+    failure as a dead-letter row."""
+    from infoscience_imports_spark.sources.warc import read_warc_paths
+
+    good = tmp_path / "good.warc"
+    good.write_bytes(_warc_bytes(RECORDS[:3]))
+    # 2 good records, then a truncated third
+    partial = tmp_path / "partial.warc"
+    partial.write_bytes(_warc_bytes(RECORDS[3:6])[:-40])
+    # not WARC at all
+    junk = tmp_path / "junk.warc"
+    junk.write_bytes(b"certainly not a warc file")
+    paths = [str(good), str(partial), str(junk)]
+
+    with pytest.raises(Exception):  # strict default still fails the job
+        read_warc_paths(spark, paths).count()
+
+    df = read_warc_paths(spark, paths, strict=False).cache()
+    defects = {r["source_file"]: r["defect"] for r in df.filter("warc_type = '__defect__'").collect()}
+    assert set(defects) == {str(partial), str(junk)}
+    assert "truncated" in defects[str(partial)]
+    ok = df.filter("defect IS NULL")
+    assert ok.count() == 5  # 3 from good + 2 parsed before the truncation
+    assert ok.filter(F.col("source_file") == str(partial)).count() == 2
+    df.unpersist()
 
 
 def test_non_response_records_keep_raw_payload():
