@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -74,10 +75,12 @@ def band_keys(minhashes: np.ndarray, n_bands: int) -> np.ndarray:
 SHINGLES_FIELD = StructField("shingles", ArrayType(LongType(), False), True)
 
 
-def signature_schema(include_shingles: bool = True) -> StructType:
+def signature_schema(include_shingles: bool = True, keep_text: bool = False) -> StructType:
     fields = list(SIGNATURE_FIELDS)
     if include_shingles:
         fields.append(SHINGLES_FIELD)
+    if keep_text:
+        fields.append(StructField("text_norm", StringType(), True))
     return StructType(fields)
 
 
@@ -88,6 +91,7 @@ def compute_signatures(
     id_col: str = "doc_id",
     title_tokens: int = 12,
     include_shingles: bool = True,
+    keep_text: bool = False,
 ) -> DataFrame:
     """(doc_id, text_norm) -> signatures table.
 
@@ -100,10 +104,15 @@ def compute_signatures(
     from text) for expensive, non-scaling I/O (reading them back from disk
     at every verify join). ``bottomk`` (the k smallest hashes, the
     containment sketch) is always kept — it is tiny.
+
+    ``keep_text=True`` passes ``text_norm`` through the kernel into the
+    output (no join, no extra shuffle) — for callers whose downstream state
+    must be text-self-contained (the streaming doc state feeding deep
+    compaction's containment verify).
     """
     k = cfg.shingle_k
     a_param, b_param = perm_params(cfg)
-    out_schema = signature_schema(include_shingles)
+    out_schema = signature_schema(include_shingles, keep_text)
     bottomk_n = cfg.bottomk
     n_bands = cfg.lsh_bands
 
@@ -152,6 +161,8 @@ def compute_signatures(
             }
             if include_shingles:
                 out["shingles"] = shingle_lists
+            if keep_text:
+                out["text_norm"] = pdf["_text"].to_numpy()
             yield pd.DataFrame(out)
 
     return src.mapInPandas(kernel, schema=out_schema)

@@ -38,6 +38,11 @@ from ..operators import signatures as sigs
 class IncrementalDedup:
     """Streaming exact-dedup: state = signatures parquet dir, keyed by digest."""
 
+    # subclasses that keep text-self-contained doc state (deep compaction's
+    # containment verify re-reads stored text_norm) flip this on so the
+    # signature kernel passes text through without a join
+    _keep_text = False
+
     def __init__(
         self,
         spark: SparkSession,
@@ -106,7 +111,7 @@ class IncrementalDedup:
         # persisted: the touched-buckets collect + the writes downstream
         # would otherwise each recompute the full signature kernel pass
         sg = (
-            sigs.compute_signatures(ext, self.cfg)
+            sigs.compute_signatures(ext, self.cfg, keep_text=self._keep_text)
             .withColumn("state_bucket", self._bucket_col())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -262,9 +267,13 @@ class IncrementalNearDedup(IncrementalDedup):
     pass, ``deduplicator.py:146-162``): an admitted doc's cluster_id is
     stable; a new doc joins the minimum cluster_id among its verified
     partners (its own doc_id if none). A new doc bridging two existing
-    clusters does NOT retroactively merge them — retro-merge is the batch
-    pipeline's recluster job, not the streaming path's.
+    clusters does NOT retroactively merge them within the per-batch path;
+    every verified edge is appended to ``edges`` state, and the periodic
+    :meth:`compact` pass runs batch CC over that history to merge them —
+    the reference's rerun-merges-everything semantics, restored on demand.
     """
+
+    _keep_text = True  # doc state stores text_norm for deep compaction
 
     def __init__(
         self,
@@ -277,6 +286,7 @@ class IncrementalNearDedup(IncrementalDedup):
         self.bucket_dir = os.path.join(state_dir, "buckets")
         self.docsig_dir = os.path.join(state_dir, "docsigs")
         self.cluster_dir = os.path.join(state_dir, "clusters")
+        self.edge_dir = os.path.join(state_dir, "edges")
 
     def _part(self, *cols):
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_state_buckets)).cast("int")
@@ -327,7 +337,22 @@ class IncrementalNearDedup(IncrementalDedup):
                 persisted.append(new_old)
 
             # ---- verify: shingles of new docs (in-batch) + old docs (pruned) ----
-            new_sigs = fresh.select("doc_id", "shingles", "n_shingles")
+            # doc state keeps bands/simhash64/bottomk/text_norm beyond the
+            # verify columns: deep compaction re-runs ALL THREE fuzzy rule
+            # families (minhash/simhash/containment) over state, which must
+            # therefore be self-contained
+            new_sigs = fresh.select(
+                "doc_id",
+                "shingles",
+                "n_shingles",
+                "bands",
+                "simhash64",
+                "bottomk",
+                "text_norm",
+            )
+            # verify itself only consumes the narrow columns; the wide view
+            # exists for the docsig state write (sigs_out) below
+            new_sigs_v = new_sigs.select("doc_id", "shingles", "n_shingles")
             edges_no = None
             if new_old is not None:
                 involved = (
@@ -340,11 +365,11 @@ class IncrementalNearDedup(IncrementalDedup):
                 # both): the batch's row wins — an anti-join beats
                 # dropDuplicates, whose surviving row is partition-order luck
                 all_sigs = (
-                    new_sigs
+                    new_sigs_v
                     if old_sigs is None
-                    else new_sigs.unionByName(
+                    else new_sigs_v.unionByName(
                         old_sigs.select("doc_id", "shingles", "n_shingles").join(
-                            new_sigs.select("doc_id"), on="doc_id", how="left_anti"
+                            new_sigs_v.select("doc_id"), on="doc_id", how="left_anti"
                         )
                     )
                 )
@@ -359,9 +384,14 @@ class IncrementalNearDedup(IncrementalDedup):
                 persisted.append(edges_no)
             nn_pairs = new_new.persist(StorageLevel.MEMORY_AND_DISK)
             persisted.append(nn_pairs)
-            edges_nn = vfy.jaccard_verify(nn_pairs, new_sigs, self.cfg, pregated=True).select(
-                "id1", "id2"
+            # persisted: feeds batch CC below AND the edge-state append —
+            # uncached the verify kernel would run twice
+            edges_nn = (
+                vfy.jaccard_verify(nn_pairs, new_sigs_v, self.cfg, pregated=True)
+                .select("id1", "id2")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            persisted.append(edges_nn)
 
             # ---- cluster: stable ids for admitted docs ----
             # 1) group the batch's new docs among themselves (component min)
@@ -438,8 +468,23 @@ class IncrementalNearDedup(IncrementalDedup):
                 known_ids = known_docs.select("doc_id")
                 assign_out = assign_out.join(known_ids, on="doc_id", how="left_anti")
                 sigs_out = sigs_out.join(known_ids, on="doc_id", how="left_anti")
-            # eager lineage cuts: these three plans read the state dirs they
+            # verified-edge state for compact(): every edge this batch proved
+            # (new-new and new-old) is appended so a later retro-merge pass
+            # can run batch CC over the FULL link history. Edge state grows
+            # with the verified-duplicate count (<< corpus), not with stream
+            # age per batch.
+            edges_out = edges_nn
+            if edges_no is not None:
+                edges_out = edges_out.unionByName(
+                    edges_no.select(
+                        F.col("doc_id").alias("id1"), F.col("old_id").alias("id2")
+                    )
+                )
+            edges_out = edges_out.withColumn("batch_id", F.lit(batch_id))
+
+            # eager lineage cuts: these plans read the state dirs they
             # are about to be appended to
+            edges_out = edges_out.localCheckpoint(eager=True)
             fb_rows = fb_rows.localCheckpoint(eager=True)
             assign_out = (
                 assign_out.withColumn("dpart", self._part("doc_id")).localCheckpoint(eager=True)
@@ -449,7 +494,12 @@ class IncrementalNearDedup(IncrementalDedup):
             )
 
             # ---- writes (all frames below are lineage-cut or state-free) ----
-            fresh.write.mode("append").partitionBy("state_bucket").parquet(self.sig_dir)
+            edges_out.write.mode("append").parquet(self.edge_dir)
+            # digest state never needs the text back (the known-digest check
+            # reads only `digest`); the text lives once, in docsig state
+            fresh.drop("text_norm").write.mode("append").partitionBy(
+                "state_bucket"
+            ).parquet(self.sig_dir)
             fb_rows.write.mode("append").partitionBy("bpart").parquet(self.bucket_dir)
             sigs_out.write.mode("append").partitionBy("dpart").parquet(self.docsig_dir)
             assign_out.write.mode("append").partitionBy("dpart").parquet(self.cluster_dir)
@@ -464,6 +514,155 @@ class IncrementalNearDedup(IncrementalDedup):
 
     def clusters(self) -> DataFrame:
         return self.spark.read.parquet(self.cluster_dir).select("doc_id", "cluster_id")
+
+    def compact(self, deep: bool = False) -> dict:
+        """Retro-merge compaction: batch CC over the accumulated verified
+        edges, rewriting every cluster id to its component minimum.
+
+        The per-batch path deliberately never merges two EXISTING clusters
+        that a later arrival bridges (stable ids, bounded per-batch work —
+        the documented recall gap, measured 0.9982 at the 30k-page soak).
+        The reference's model is "a stateless re-run merges everything"
+        (``README.md:463-471``); this pass restores exactly those semantics
+        on demand without changing the per-batch path: connected components
+        over the FULL verified-edge history (every edge any batch proved is
+        in ``edges`` state), then an atomic rewrite of the cluster state.
+
+        ``deep=True`` additionally re-runs the batch pipeline's three fuzzy
+        rule families (minhash LSH, SimHash, containment) over the
+        text-self-contained doc state (:meth:`_deep_edges`) and unions those
+        edges with the stored history before the CC. The per-batch stream
+        runs only the minhash family (per-batch simhash/containment would
+        make micro-batch cost unbounded), so CONTAIN/TITLE_DUP-class
+        duplicates split across batches link only here — deep compaction is
+        the full equivalent of the reference's stateless re-run, at the cost
+        of a candidate-gen + verify pass over the whole corpus state (the
+        batch pipeline's edges-stage cost, not the shallow pass's
+        O(stored edges)).
+
+        Scale shape: edge state is O(verified duplicate pairs) — orders of
+        magnitude under the corpus — and the CC is the same salted/gated
+        ``connected_components`` the batch pipeline runs at full scale. The
+        rewrite is a full pass over cluster state (one narrow table), written
+        to a temp dir and swapped in with renames; on an object store run
+        this as an Iceberg REPLACE/overwrite commit instead. Run it with the
+        stream quiesced (between ``availableNow`` triggers): the dir swap
+        races a concurrent micro-batch's pruned cluster reads.
+
+        Cluster ids may CHANGE across a compaction (merged components take
+        the component-min id) — same contract as the reference's re-run.
+        Idempotent: a second pass with no new edges rewrites nothing.
+        Returns metrics (docs, edges, clusters before/after, merged count).
+        """
+        from ..operators.components import connected_components
+
+        if not os.path.isdir(self.cluster_dir):
+            return {"docs": 0, "edges": 0, "clusters_before": 0, "clusters_after": 0, "merged": 0}
+        clusters = self.spark.read.parquet(self.cluster_dir)
+        n_docs = clusters.count()
+        n_before = clusters.select("cluster_id").distinct().count()
+        edge_frames = []
+        n_edges = 0
+        if os.path.isdir(self.edge_dir):
+            stored = self.spark.read.parquet(self.edge_dir).select("id1", "id2")
+            n_edges = stored.count()
+            if n_edges:
+                edge_frames.append(stored)
+        if deep:
+            de = self._deep_edges()
+            if de is not None:
+                edge_frames.append(de)
+        if not edge_frames:
+            return {
+                "docs": n_docs,
+                "edges": 0,
+                "clusters_before": n_before,
+                "clusters_after": n_before,
+                "merged": 0,
+            }
+        edges = edge_frames[0]
+        for e in edge_frames[1:]:
+            edges = edges.unionByName(e)
+        assign = connected_components(edges, self.cfg)
+        rewritten = (
+            clusters.select("doc_id")
+            .join(assign, on="doc_id", how="left")
+            .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+            .withColumn("dpart", self._part("doc_id"))
+        )
+        tmp = self.cluster_dir + ".compact-tmp"
+        rewritten.write.mode("overwrite").partitionBy("dpart").parquet(tmp)
+        old = self.cluster_dir + ".pre-compact"
+        os.rename(self.cluster_dir, old)
+        os.rename(tmp, self.cluster_dir)
+        import shutil
+
+        shutil.rmtree(old)
+        self.spark.catalog.refreshByPath(self.cluster_dir)
+        n_after = self.clusters().select("cluster_id").distinct().count()
+        return {
+            "docs": n_docs,
+            "edges": n_edges,
+            "clusters_before": n_before,
+            "clusters_after": n_after,
+            "merged": n_before - n_after,
+        }
+
+    def _deep_edges(self):
+        """The batch pipeline's edges stage, re-run over doc state.
+
+        Doc state is text-self-contained (doc_id, shingles, n_shingles,
+        bands, simhash64, bottomk, text_norm), so candidate generation and
+        verify need NO access to the original pages: minhash band self-join
+        (``lsh.candidate_pairs`` over ``band_buckets``), SimHash
+        block-combination + Hamming filter, and containment
+        (bottom-k postings → Bloom → exact verify) all read state columns,
+        and the unified text-verify kernel (``verify_tagged_pairs``) joins
+        the stored ``text_norm`` — the same operators, gates, and thresholds
+        as ``plans/pipeline.py`` ``_edges`` (reference semantics:
+        ``deduplicator.py:117-139`` cascade over a full re-harvest). Column
+        pruning keeps each family's state scan narrow. Returns a
+        lineage-cut (id1, id2) frame, or ``None`` with no state. Raises on
+        state written by a pre-deep version (no text/bands columns): deep
+        compaction cannot be retrofitted onto lossy state — re-ingest or run
+        the batch pipeline over the raw pages instead.
+        """
+        from pyspark.storagelevel import StorageLevel
+
+        from ..operators import containment as cont
+        from ..operators import lsh
+        from ..operators import verify as vfy
+
+        if not os.path.isdir(self.docsig_dir):
+            return None
+        state = self.spark.read.parquet(self.docsig_dir)
+        needed = {"doc_id", "n_shingles", "bands", "simhash64", "bottomk", "text_norm"}
+        missing = needed - set(state.columns)
+        if missing:
+            raise ValueError(
+                "deep compaction needs text-self-contained doc state; "
+                f"{self.docsig_dir} lacks {sorted(missing)} (written by a "
+                "pre-deep version) — re-ingest, or run the batch pipeline "
+                "over the raw pages instead"
+            )
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            texts = state.select("doc_id", "text_norm")
+            mh = lsh.candidate_pairs(lsh.band_buckets(state, self.cfg), self.cfg).select(
+                "id1", "id2", F.lit("minhash").alias("rule")
+            )
+            contain = cont.containment_candidates(state, texts, self.cfg).select(
+                F.col("small_id").alias("id1"),
+                F.col("big_id").alias("id2"),
+                F.lit("contain").alias("rule"),
+            )
+            fuzzy = vfy.verify_tagged_pairs(mh.unionByName(contain), texts, self.cfg)
+            sim = lsh.simhash_candidate_pairs(state, self.cfg)
+            out = fuzzy.select("id1", "id2").unionByName(sim.select("id1", "id2"))
+            # materialize before unpersisting the state scan the plan hangs on
+            return out.localCheckpoint(eager=True)
+        finally:
+            state.unpersist()
 
 
 def watermark_dedup_stream(pages_stream: DataFrame, delay: str = "10 minutes") -> DataFrame:

@@ -11,11 +11,18 @@ against the planted truth:
     scored through their representative);
   * false-merge count (pairs co-clustered that are not true dups).
 
-Expected semantics: recall can be < 1.0 only through the documented
-no-retro-merge rule (a doc bridging two already-separate clusters does not
-merge them) and the bounded-degree bucket cap; both are the price of
-stable cluster ids + bounded per-batch work. The measured number goes into
-BENCH/BASELINE.md so the tradeoff is quantified, not hand-waved.
+Expected semantics: the PER-BATCH recall can be < 1.0 only through the
+documented no-retro-merge rule (a doc bridging two already-separate
+clusters does not merge them), the bounded-degree bucket cap, and the
+stream's minhash-only rule family (CONTAIN/TITLE_DUP-class dups split
+across batches need the containment/simhash families); all are the price
+of stable cluster ids + bounded per-batch work. The soak then runs the
+retro-merge ``compact()`` pass (batch CC over accumulated edge state — the
+cheap one) and scores, then ``compact(deep=True)`` (all three rule
+families re-run over doc state) and scores again — post-deep recall must
+be 1.0, the reference's rerun-merges-everything semantics. All three
+numbers go into BENCH/BASELINE.md so the tradeoff is quantified, not
+hand-waved.
 
 Usage: python scripts/soak_streaming.py [--pages 30000] [--batches 6]
 """
@@ -70,46 +77,57 @@ def main() -> None:
         inc.process_batch(batch, b)
     wall = time.monotonic() - t0
 
-    clusters = inc.clusters()
-    # digest -> representative (first admitted doc per digest, by batch order)
+    # every page maps through its content digest to its admitted
+    # representative (first admitted doc per digest, by batch order)
+    from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
+
     ledger = spark.read.parquet(inc.new_dir)
     w_first = (
         ledger.groupBy("digest").agg(F.min_by("doc_id", "batch_id").alias("rep_id"))
     )
-    # every page maps through its content digest to that representative
-    from infoscience_imports_spark.functions.text import extract_text_col, normalize_text_col
-
     doc_digest = pipeline_input(pages).select(
         F.xxhash64("url").alias("doc_id"),
         F.xxhash64(normalize_text_col(extract_text_col(F.col("html")))).alias("digest"),
     )
-    doc_rep = doc_digest.join(w_first, on="digest").select("doc_id", "rep_id")
-    rep_cluster = clusters.withColumnRenamed("doc_id", "rep_id")
-    doc_cluster = doc_rep.join(rep_cluster, on="rep_id").select("doc_id", "cluster_id")
+    doc_rep = doc_digest.join(w_first, on="digest").select("doc_id", "rep_id").cache()
+    tp = true_pairs(pages).cache()
 
-    tp = true_pairs(pages)
-    joined = (
-        tp.join(
-            doc_cluster.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"),
-            "id1",
-        ).join(
-            doc_cluster.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"),
-            "id2",
+    def score(clusters):
+        rep_cluster = clusters.withColumnRenamed("doc_id", "rep_id")
+        doc_cluster = doc_rep.join(rep_cluster, on="rep_id").select("doc_id", "cluster_id")
+        joined = (
+            tp.join(
+                doc_cluster.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"),
+                "id1",
+            ).join(
+                doc_cluster.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"),
+                "id2",
+            )
         )
-    )
-    n_true = joined.count()
-    n_hit = joined.filter(F.col("c1") == F.col("c2")).count()
-    recall = n_hit / max(1, n_true)
+        n_true = joined.count()
+        n_hit = joined.filter(F.col("c1") == F.col("c2")).count()
+        # false merges: co-clustered admitted pairs that are not true dups
+        a = doc_cluster.alias("a")
+        b = doc_cluster.alias("b")
+        co = (
+            a.join(b, on=F.col("a.cluster_id") == F.col("b.cluster_id"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        )
+        false_merges = co.join(tp, on=["id1", "id2"], how="left_anti").count()
+        return n_true, n_hit / max(1, n_true), false_merges
 
-    # false merges: co-clustered admitted pairs that are not true pairs
-    a = doc_cluster.alias("a")
-    b = doc_cluster.alias("b")
-    co = (
-        a.join(b, on=F.col("a.cluster_id") == F.col("b.cluster_id"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-    )
-    false_merges = co.join(tp, on=["id1", "id2"], how="left_anti").count()
+    n_true, recall, false_merges = score(inc.clusters())
+
+    t1 = time.monotonic()
+    cm = inc.compact()
+    compact_wall = time.monotonic() - t1
+    _, recall_post, false_post = score(inc.clusters())
+
+    t2 = time.monotonic()
+    dm = inc.compact(deep=True)
+    deep_wall = time.monotonic() - t2
+    _, recall_deep, false_deep = score(inc.clusters())
 
     report = {
         "pages": args.pages,
@@ -119,6 +137,15 @@ def main() -> None:
         "true_pairs": n_true,
         "recall": round(recall, 4),
         "false_merges": false_merges,
+        "compact_wall_sec": round(compact_wall, 1),
+        "compact_merged": cm["merged"],
+        "compact_edges": cm["edges"],
+        "recall_post_compact": round(recall_post, 4),
+        "false_merges_post_compact": false_post,
+        "deep_compact_wall_sec": round(deep_wall, 1),
+        "deep_compact_merged": dm["merged"],
+        "recall_post_deep": round(recall_deep, 4),
+        "false_merges_post_deep": false_deep,
     }
     print("STREAMSOAK " + json.dumps(report), flush=True)
 
@@ -133,11 +160,17 @@ def main() -> None:
             f"including per-batch state maintenance)\n"
             f"- dup-pair recall vs planted truth (both ends admitted, scored "
             f"through digest representatives): **{report['recall']}** over "
-            f"{n_true} true pairs\n"
-            f"- false merges: **{false_merges}**\n"
-            f"- recall < 1.0 can only come from the documented no-retro-merge "
-            f"rule and the bucket-cap bounded degree; exact + near duplicates "
-            f"arriving in ANY batch order otherwise land in one cluster\n"
+            f"{n_true} true pairs, false merges **{false_merges}** — per-batch "
+            f"path only (stable ids, documented no-retro-merge rule)\n"
+            f"- retro-merge compact(): {cm['merged']} cluster merges over "
+            f"{cm['edges']} stored edges in {report['compact_wall_sec']} s -> "
+            f"recall **{report['recall_post_compact']}**, false merges "
+            f"**{false_post}** (bridges merged; O(stored edges))\n"
+            f"- deep compact(deep=True): all three fuzzy rule families re-run "
+            f"over doc state, {dm['merged']} further merges in "
+            f"{report['deep_compact_wall_sec']} s -> recall "
+            f"**{report['recall_post_deep']}**, false merges **{false_deep}** "
+            f"(the reference's rerun-merges-everything semantics, in full)\n"
         )
     print("DONE", flush=True)
 

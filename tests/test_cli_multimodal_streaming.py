@@ -341,3 +341,140 @@ def test_host_profile_stream_stateful(spark):
         est = float(last.loc[host, "approx_unique_docs"])
         assert abs(est - u) / max(1, u) < 0.25, (host, u, est)
     shutil.rmtree(in_dir)
+
+
+def test_compact_retro_merges_bridged_clusters(spark):
+    """VERDICT r3 #2 planted case: clusters A and B exist, then the A...B
+    bridge arrives LAST. The per-batch path adopts one side (stable ids);
+    compact() must merge both via CC over the accumulated edge state."""
+    import datetime
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="stream-compact-")
+    cfg = DedupConfig(shuffle_partitions=8)
+    inc = IncrementalNearDedup(spark, state, cfg, n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def page(url, text):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(text, "t")), lang="en")
+
+    # sliding token windows: J(A,X) = J(X,B) ~ (210-25)/(210+25) = 0.79 >= 0.70
+    # while J(A,B) ~ (210-50)/(210+50) = 0.62 < 0.70 — A and B are NOT direct
+    # duplicates, only the bridge X links them
+    toks = [f"tok{i:04d}" for i in range(260)]
+    text_a, text_x, text_b = (
+        " ".join(toks[0:210]),
+        " ".join(toks[25:235]),
+        " ".join(toks[50:260]),
+    )
+
+    inc.process_batch(spark.createDataFrame([page("https://a.test/", text_a)]), 0)
+    inc.process_batch(spark.createDataFrame([page("https://b.test/", text_b)]), 1)
+    ids = {
+        u: r["doc_id"]
+        for u, r in zip(
+            ["a", "b", "x"],
+            spark.createDataFrame(
+                [("https://a.test/",), ("https://b.test/",), ("https://x.test/",)],
+                "url string",
+            ).select(F.xxhash64("url").alias("doc_id")).collect(),
+        )
+    }
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl[ids["a"]] != cl[ids["b"]]  # distinct clusters before the bridge
+
+    inc.process_batch(spark.createDataFrame([page("https://x.test/", text_x)]), 2)
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    # per-batch semantics: X adopted ONE side; A and B still split (the gap)
+    assert cl[ids["a"]] != cl[ids["b"]]
+    assert cl[ids["x"]] in (cl[ids["a"]], cl[ids["b"]])
+
+    m = inc.compact()
+    assert m["merged"] == 1 and m["edges"] >= 2
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    want = min(ids.values())
+    assert cl[ids["a"]] == cl[ids["b"]] == cl[ids["x"]] == want
+
+    # idempotent: nothing left to merge
+    assert inc.compact()["merged"] == 0
+    # the stream keeps working after a compaction: a fresh near-dup of A
+    # joins the (merged) cluster under the rewritten id
+    inc.process_batch(
+        spark.createDataFrame([page("https://a-mirror.test/", text_a + " end")]), 3
+    )
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    mirror = spark.createDataFrame([("https://a-mirror.test/",)], "url string").select(
+        F.xxhash64("url").alias("doc_id")
+    ).collect()[0]["doc_id"]
+    assert cl[mirror] == want
+    shutil.rmtree(state)
+
+
+def test_deep_compact_links_contain_and_titledup_across_batches(spark):
+    """The per-batch stream runs only the minhash family, so a CONTAIN-class
+    pair (slice ⊂ base, Jaccard ~0.33 < 0.70) and a TITLE_DUP-class pair
+    (identical 12-token title, unrelated bodies) split across batches never
+    link — not per-batch, and not by shallow compact() (no stored edge
+    exists). compact(deep=True) re-runs the simhash + containment families
+    over the text-self-contained doc state and must merge both."""
+    import datetime
+    import random
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="stream-deepcompact-")
+    cfg = DedupConfig(shuffle_partitions=8)
+    inc = IncrementalNearDedup(spark, state, cfg, n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def page(url, text):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(text, "t")), lang="en")
+
+    rng = random.Random(11)
+    vocab = [f"w{i:05d}" for i in range(4000)]
+    base = [rng.choice(vocab) for _ in range(300)]
+    slice_doc = base[100:200]  # containment 1.0, Jaccard ~ 100/300
+    title = [rng.choice(vocab) for _ in range(12)]
+    body1 = [rng.choice(vocab) for _ in range(150)]
+    body2 = [rng.choice(vocab) for _ in range(150)]
+
+    urls = {
+        "big": "https://contain-big.test/",
+        "small": "https://contain-small.test/",
+        "t1": "https://title-1.test/",
+        "t2": "https://title-2.test/",
+    }
+    inc.process_batch(
+        spark.createDataFrame(
+            [page(urls["big"], " ".join(base)), page(urls["t1"], " ".join(title + body1))]
+        ),
+        0,
+    )
+    inc.process_batch(
+        spark.createDataFrame(
+            [page(urls["small"], " ".join(slice_doc)), page(urls["t2"], " ".join(title + body2))]
+        ),
+        1,
+    )
+    ids = {
+        k: spark.createDataFrame([(u,)], "url string")
+        .select(F.xxhash64("url").alias("doc_id"))
+        .collect()[0]["doc_id"]
+        for k, u in urls.items()
+    }
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert len({cl[i] for i in ids.values()}) == 4  # nothing linked per-batch
+    assert inc.compact()["merged"] == 0  # shallow has no edges to work with
+
+    m = inc.compact(deep=True)
+    assert m["merged"] == 2, m
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl[ids["big"]] == cl[ids["small"]] == min(ids["big"], ids["small"])
+    assert cl[ids["t1"]] == cl[ids["t2"]] == min(ids["t1"], ids["t2"])
+    assert cl[ids["big"]] != cl[ids["t1"]]
+    # idempotent: the deep families rediscover the same edges, merge nothing
+    assert inc.compact(deep=True)["merged"] == 0
+    shutil.rmtree(state)
