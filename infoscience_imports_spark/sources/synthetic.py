@@ -119,10 +119,18 @@ _CLASS_BOUNDS = [
 ]
 
 
-def _class_of(i: int, n: int) -> tuple[str, int, int]:
-    """-> (class, group ordinal within class, member index within group)."""
+def _class_of(i: int, n: int, width_scale: int = 1) -> tuple[str, int, int]:
+    """-> (class, group ordinal within class, member index within group).
+
+    ``width_scale`` multiplies every dup-group width (pair classes become
+    2*s-member groups, chains 3*s-member chains) without touching the class
+    fractions — the dup-heavier mix for gate soaks: true/candidate pairs per
+    group grow ~C(w*s, 2)/C(w, 2) ≈ s² while the corpus mix stays put.
+    """
     frac = i / n
     for name, lo, hi, width in _CLASS_BOUNDS:
+        if width > 1 and width_scale > 1:
+            width = width * width_scale
         if lo <= frac < hi:
             start = int(lo * n)
             end = int(hi * n) if hi <= 1.0 else n
@@ -204,8 +212,8 @@ def render_html(text: str, title: str) -> bytes:
     return doc.encode("utf-8")
 
 
-def gen_row(i: int, n: int, seed: int, vocab: list[str]) -> dict:
-    name, group, member = _class_of(i, n)
+def gen_row(i: int, n: int, seed: int, vocab: list[str], width_scale: int = 1) -> dict:
+    name, group, member = _class_of(i, n, width_scale)
     toks = _tokens_for(name, group, member, seed, vocab)
     text = " ".join(toks)
     rng = _rng(seed, "row", i)
@@ -223,7 +231,21 @@ def gen_row(i: int, n: int, seed: int, vocab: list[str]) -> dict:
     }
 
 
-_INTERLEAVE_PRIME = 1_000_003  # > any corpus size we generate; gcd(p, n) == 1
+_INTERLEAVE_PRIME = 1_000_003  # gcd(p, n) == 1 whenever n < p
+
+
+def _interleave_prime(n: int) -> int:
+    """Smallest usable interleave prime for an n-page corpus: the fixed
+    1,000,003 below it (so every historical corpus keeps its exact row->
+    partition mapping), else the first prime > n (deterministic; > n makes
+    it coprime with n, so i -> i*p mod n stays a bijection)."""
+    if n < _INTERLEAVE_PRIME:
+        return _INTERLEAVE_PRIME
+    p = n + 1
+    while True:
+        if p % 2 and all(p % d for d in range(3, int(p**0.5) + 1, 2)):
+            return p
+        p += 1
 
 
 def generate_web_pages(
@@ -232,6 +254,7 @@ def generate_web_pages(
     seed: int = 42,
     partitions: int | None = None,
     interleave: bool = False,
+    width_scale: int = 1,
 ) -> DataFrame:
     """Distributed deterministic corpus of n pages (truth columns included).
 
@@ -244,18 +267,17 @@ def generate_web_pages(
     way (ids derive from url).
     """
     parts = partitions or max(4, spark.sparkContext.defaultParallelism)
-    if interleave and n >= _INTERLEAVE_PRIME:
-        raise ValueError(f"interleave supports n < {_INTERLEAVE_PRIME}")
+    prime = _interleave_prime(n)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab = _vocab(seed)
         for pdf in batches:
             ids = (
-                [(int(i) * _INTERLEAVE_PRIME) % n for i in pdf["id"]]
+                [(int(i) * prime) % n for i in pdf["id"]]
                 if interleave
                 else [int(i) for i in pdf["id"]]
             )
-            rows = [gen_row(i, n, seed, vocab) for i in ids]
+            rows = [gen_row(i, n, seed, vocab, width_scale) for i in ids]
             yield pd.DataFrame(rows)
 
     return (
@@ -359,3 +381,33 @@ def true_pairs(pages: DataFrame) -> DataFrame:
             F.col("a.dup_class").alias("dup_class"),
         )
     )
+
+
+def grouped_pair_recall(pages: DataFrame, clusters: DataFrame) -> tuple[float, int]:
+    """Pairwise dup recall, computed group-wise in LINEAR space.
+
+    Same value as joining :func:`true_pairs` against the cluster assignment
+    (a truth group whose members land in clusters of sizes c_1..c_m scores
+    Σ C(c_j, 2) hit pairs of C(g, 2) true pairs; docs missing a cluster row
+    drop out of both, matching a both-ends inner join) — but it never
+    materializes the quadratic pair list, which the explicit join must: the
+    HOT class alone is C(100k, 2) ≈ 5e9 pairs at a 2M-page corpus. Returns
+    ``(recall, true_pair_count)``.
+    """
+    ids = pages.select(
+        F.xxhash64("url").alias("doc_id"), "group_key", "dup_class"
+    ).filter(F.col("dup_class") != "UNIQUE")
+    sub = (
+        ids.join(clusters.select("doc_id", "cluster_id"), on="doc_id")
+        .groupBy("group_key", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_group = sub.groupBy("group_key").agg(
+        F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("hit"),
+        (F.sum("c") * (F.sum("c") - F.lit(1)) / F.lit(2)).alias("tru"),
+    )
+    row = per_group.agg(
+        F.sum("hit").alias("h"), F.sum("tru").alias("t")
+    ).collect()[0]
+    t = float(row["t"] or 0.0)
+    return (float(row["h"] or 0.0) / t if t else 1.0), int(t)

@@ -16,9 +16,20 @@ window rep_id) was the least-exercised. This driver:
      parity (the gates are physical-plan switches; output must be identical),
   5. appends the evidence to BENCH/BASELINE.md.
 
+``--production`` (round-3 verdict, "Next round" #4) instead runs the
+SHIPPED DedupConfig() — no soak-shrunken gates — on a corpus big and
+dup-heavy enough (``--pages 2000000 --width-scale 6`` by default) that the
+measured candidate-pair and symmetric-edge counts cross the production
+gate values (broadcast_pair_limit=2M, cc_local_max_edges=2M). That
+validates the default gate *values* as shipped, not just the branch code;
+the parity-subset leg is skipped (already evidenced by the soak-gate runs,
+and in production mode both configs would be identical anyway).
+
 Usage:
     python scripts/soak_above_gate.py [--pages 100000] [--subset 20000]
                                       [--cores 32] [--corpus DIR]
+    python scripts/soak_above_gate.py --production [--pages 2000000]
+                                      [--width-scale 6]
 """
 
 from __future__ import annotations
@@ -39,7 +50,6 @@ from infoscience_imports_spark.sources.catalog import CheckpointStore  # noqa: E
 from infoscience_imports_spark.sources.synthetic import (  # noqa: E402
     generate_web_pages,
     pipeline_input,
-    true_pairs,
 )
 
 # Gates sized so a ~100k-page soak corpus measurably crosses every one of
@@ -54,21 +64,13 @@ SOAK_CFG = DedupConfig(
 
 
 def _recall(spark, pages_truth, clusters) -> float:
-    from pyspark.sql import functions as F
+    """Linear-space pairwise recall (grouped_pair_recall): identical value
+    to the explicit true_pairs join, but HOT's C(g,2) never materializes —
+    mandatory at the 2M-page production soak (HOT alone ≈ 5e9 pairs)."""
+    from infoscience_imports_spark.sources.synthetic import grouped_pair_recall
 
-    tp = true_pairs(pages_truth)
-    j = (
-        tp.join(
-            clusters.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"),
-            "id1",
-        ).join(
-            clusters.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"),
-            "id2",
-        )
-    )
-    return j.agg(
-        F.avg((F.col("c1") == F.col("c2")).cast("double")).alias("r")
-    ).collect()[0]["r"]
+    r, _n = grouped_pair_recall(pages_truth, clusters)
+    return r
 
 
 def _run(spark, pages, cfg, tag):
@@ -82,11 +84,18 @@ def _run(spark, pages, cfg, tag):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--pages", type=int, default=None)
     ap.add_argument("--subset", type=int, default=20_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--production", action="store_true")
+    ap.add_argument("--width-scale", type=int, default=None)
     args = ap.parse_args()
+    if args.pages is None:
+        args.pages = 2_000_000 if args.production else 100_000
+    if args.width_scale is None:
+        args.width_scale = 6 if args.production else 1
+    cfg = DedupConfig() if args.production else SOAK_CFG
 
     spark = get_spark(
         app_name="soak-above-gate",
@@ -100,14 +109,19 @@ def main() -> None:
         corpus = tempfile.mkdtemp(prefix="soak-corpus-")
         gen_parts = max(32, args.pages // 512)
         generate_web_pages(
-            spark, args.pages, seed=42, partitions=gen_parts, interleave=True
+            spark,
+            args.pages,
+            seed=42,
+            partitions=gen_parts,
+            interleave=True,
+            width_scale=args.width_scale,
         ).write.mode("overwrite").parquet(corpus)
     pages_truth = spark.read.parquet(corpus)
     pages = pipeline_input(pages_truth)
     n_pages = pages.count()
 
     # ---- soak run through the above-gate branches ----
-    pipe, res, wall = _run(spark, pages, SOAK_CFG, "full")
+    pipe, res, wall = _run(spark, pages, cfg, "full")
     clusters = pipe.clusters()
     recall = _recall(spark, pages_truth, clusters)
     n_sig = res.rows.get("signatures", 0)
@@ -120,21 +134,28 @@ def main() -> None:
         "stages_sec": {k: round(v, 2) for k, v in res.timings.items()},
         "rows": res.rows,
         "recall": recall,
+        "config": "shipped-default" if args.production else "soak-gates",
+        "width_scale": args.width_scale,
         "gates": {
             "candidate_pairs": {
                 "measured": pipe.metrics.get("candidate_pairs"),
-                "gate": SOAK_CFG.broadcast_pair_limit,
+                "gate": cfg.broadcast_pair_limit,
                 "crossed": not pipe.metrics.get("verify_broadcast_gated", True),
             },
             "signature_rows_vs_broadcast_pair_limit": {
                 "measured": n_sig,
-                "gate": SOAK_CFG.broadcast_pair_limit,
-                "crossed": n_sig > SOAK_CFG.broadcast_pair_limit,
+                "gate": cfg.broadcast_pair_limit,
+                "crossed": n_sig > cfg.broadcast_pair_limit,
             },
             "sym_edges_vs_cc_local_max": {
                 "measured": 2 * n_edges,
-                "gate": SOAK_CFG.cc_local_max_edges,
-                "crossed": 2 * n_edges > SOAK_CFG.cc_local_max_edges,
+                "gate": cfg.cc_local_max_edges,
+                "crossed": 2 * n_edges > cfg.cc_local_max_edges,
+            },
+            "sym_edges_vs_salt_min": {
+                "measured": 2 * n_edges,
+                "gate": cfg.salt_min_edges,
+                "crossed": 2 * n_edges > cfg.salt_min_edges,
             },
         },
     }
@@ -143,7 +164,12 @@ def main() -> None:
     # ---- parity: subset corpus through both configs ----
     # deterministic subset (orderBy, not bare limit): a cache-evicted bare
     # limit() can recompute a DIFFERENT row subset between the two runs and
-    # fail the parity assertion spuriously
+    # fail the parity assertion spuriously. Production mode runs the shipped
+    # config directly, so there is no second config to compare against.
+    if args.production:
+        _append_ledger(report, args, cfg, recall, parity_line="")
+        print("DONE", flush=True)
+        return
     sub_truth = spark.read.parquet(corpus).orderBy("url").limit(args.subset).cache()
     sub = pipeline_input(sub_truth)
     p1, _r1, _w1 = _run(spark, sub, DedupConfig(), "sub-default")
@@ -155,14 +181,36 @@ def main() -> None:
     if not parity:
         raise SystemExit("gated vs above-gate cluster outputs differ")
 
-    # ---- append evidence to the bench ledger ----
-    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md")
+    _append_ledger(
+        report,
+        args,
+        cfg,
+        recall,
+        parity_line=(
+            f"- subset parity ({args.subset} pages, default vs soak gates): "
+            f"**identical cluster assignments**\n"
+        ),
+    )
+    print("DONE", flush=True)
+
+
+def _append_ledger(report, args, cfg, recall, parity_line: str) -> None:
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md"
+    )
+    kind = "Production-gate soak" if args.production else "Above-gate soak"
+    gate_kind = (
+        "SHIPPED DedupConfig() defaults — no soak-shrunken gates"
+        if args.production
+        else "soak gates"
+    )
     with open(md, "a") as f:
         f.write(
-            f"\n## Above-gate soak: {n_pages} pages, local[{args.cores}]\n\n"
-            f"Soak gates: broadcast_pair_limit={SOAK_CFG.broadcast_pair_limit}, "
-            f"cc_local_max_edges={SOAK_CFG.cc_local_max_edges}, "
-            f"salt_min_edges={SOAK_CFG.salt_min_edges} — every branch below ran the\n"
+            f"\n## {kind}: {report['pages']} pages"
+            f" (width_scale={args.width_scale}), local[{args.cores}]\n\n"
+            f"Gates ({gate_kind}): broadcast_pair_limit={cfg.broadcast_pair_limit}, "
+            f"cc_local_max_edges={cfg.cc_local_max_edges}, "
+            f"salt_min_edges={cfg.salt_min_edges} — crossed branches run the\n"
             f"WEB-SCALE path (window rep_id, shuffle verify join, distributed\n"
             f"large-star/small-star with salted hub joins).\n\n"
             f"- wall {report['wall_sec']} s ({report['pages_per_sec']} pages/sec); "
@@ -170,10 +218,8 @@ def main() -> None:
             f"- rows `{json.dumps(report['rows'])}`\n"
             f"- gate crossings `{json.dumps(report['gates'])}`\n"
             f"- dup-pair recall vs planted truth: **{recall}**\n"
-            f"- subset parity ({args.subset} pages, default vs soak gates): "
-            f"**identical cluster assignments**\n"
+            + parity_line
         )
-    print("DONE", flush=True)
 
 
 if __name__ == "__main__":

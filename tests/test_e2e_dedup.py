@@ -202,3 +202,74 @@ def test_cc_fast_path_matches_distributed(spark):
     dist = sorted(tuple(r) for r in connected_components(edges, forced).collect())
     assert fast == dist
     assert fast[0] == (1, 1)
+
+
+def test_grouped_pair_recall_matches_explicit_join(spark, tiny_pages, pipeline_run):
+    """grouped_pair_recall must equal the quadratic true_pairs join exactly —
+    it is the production-soak scorer, where the explicit join is infeasible
+    (HOT is C(100k, 2) pairs at 2M pages)."""
+    from infoscience_imports_spark.sources.synthetic import grouped_pair_recall
+
+    pipe, _ = pipeline_run
+    clusters = pipe.clusters()
+    tp = true_pairs(tiny_pages)
+    j = (
+        tp.join(
+            clusters.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"),
+            "id1",
+        ).join(
+            clusters.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"),
+            "id2",
+        )
+    )
+    n_true = j.count()
+    n_hit = j.filter(F.col("c1") == F.col("c2")).count()
+    r, n = grouped_pair_recall(tiny_pages, clusters)
+    assert n == n_true
+    assert abs(r - n_hit / max(1, n_true)) < 1e-12
+
+    # and on an adversarial split assignment (group halves in two clusters)
+    ids = tiny_pages.select(
+        F.xxhash64("url").alias("doc_id"), "group_key", "dup_class"
+    )
+    split = ids.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.xxhash64("group_key"))
+        .otherwise(F.xxhash64("group_key") + 1)
+        .alias("cluster_id"),
+    )
+    j2 = (
+        tp.join(split.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"), "id1")
+        .join(split.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"), "id2")
+    )
+    want = j2.filter(F.col("c1") == F.col("c2")).count() / max(1, j2.count())
+    got, _ = grouped_pair_recall(tiny_pages, split)
+    assert abs(got - want) < 1e-12
+
+
+def test_width_scale_widens_groups_and_dedups_clean(spark):
+    """width_scale multiplies planted group widths (the dup-heavier mix for
+    the production-gate soak) without breaking class semantics: the pipeline
+    still reaches recall 1.0 and UNIQUE docs stay singletons."""
+    from infoscience_imports_spark.sources.synthetic import (
+        generate_web_pages,
+        grouped_pair_recall,
+    )
+
+    pages = generate_web_pages(spark, 400, seed=13, width_scale=3).cache()
+    sizes = {
+        r["n"]
+        for r in pages.filter(~F.col("dup_class").isin("UNIQUE", "HOT"))
+        .groupBy("group_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sizes <= {6, 9}, sizes  # pair classes -> 2*3, CHAIN -> 3*3
+    wh = tempfile.mkdtemp(prefix="ws-")
+    pipe = DedupPipeline(
+        spark, CheckpointStore(spark, wh), DedupConfig(shuffle_partitions=8)
+    )
+    pipe.run(pipeline_input(pages))
+    r, n = grouped_pair_recall(pages, pipe.clusters())
+    assert n > 0 and r == 1.0
+    pages.unpersist()
