@@ -87,6 +87,35 @@ def cmd_manifest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Retro-merge a streaming near-dedup state dir (quiesce the stream
+    first — the cluster-state swap races concurrent micro-batches).
+
+    Shallow: CC over the stored verified-edge history (merges bridged
+    clusters, O(stored edges)). ``--deep``: additionally re-runs all three
+    fuzzy rule families over the text-self-contained doc state — the
+    reference's stateless-re-run semantics (``README.md:463-471``) as a
+    scheduled job instead of a full re-harvest.
+    """
+    from .streaming.incremental import IncrementalNearDedup
+
+    spark = get_spark(
+        app_name="webdedup-compact",
+        master=f"local[{args.cores}]" if args.cores else None,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg = DedupConfig(
+        shuffle_partitions=args.shuffle_partitions
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    # MUST match the stream's bucket count: the cluster-state rewrite
+    # re-derives dpart with it, and later micro-batches partition-prune
+    # their known-docs reads by the same function
+    inc = IncrementalNearDedup(spark, args.state, cfg, n_state_buckets=args.state_buckets)
+    print(json.dumps(inc.compact(deep=args.deep)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="infoscience_imports_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -120,6 +149,26 @@ def main(argv: list[str] | None = None) -> int:
     p_man.add_argument("--warehouse", required=True)
     p_man.add_argument("--stage", default=None)
     p_man.set_defaults(fn=cmd_manifest)
+
+    p_cmp = sub.add_parser(
+        "compact", help="retro-merge streaming near-dedup state (quiesced)"
+    )
+    p_cmp.add_argument("--state", required=True, help="IncrementalNearDedup state dir")
+    p_cmp.add_argument(
+        "--deep",
+        action="store_true",
+        help="re-run all three fuzzy rule families over doc state "
+        "(full stateless-re-run semantics, edges-stage cost)",
+    )
+    p_cmp.add_argument(
+        "--state-buckets",
+        type=int,
+        default=64,
+        help="the stream's n_state_buckets (dpart layout must match)",
+    )
+    p_cmp.add_argument("--cores", type=int, default=None)
+    p_cmp.add_argument("--shuffle-partitions", type=int, default=None)
+    p_cmp.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)
     return args.fn(args)

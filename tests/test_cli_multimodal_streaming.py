@@ -478,3 +478,43 @@ def test_deep_compact_links_contain_and_titledup_across_batches(spark):
     # idempotent: the deep families rediscover the same edges, merge nothing
     assert inc.compact(deep=True)["merged"] == 0
     shutil.rmtree(state)
+
+
+def test_cli_compact_deep_subprocess(spark):
+    """`cli compact --deep` merges a cross-batch CONTAIN pair from a state
+    dir built by the stream (bucket layout preserved via --state-buckets)."""
+    import datetime
+    import random
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="cli-compact-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+    rng = random.Random(23)
+    vocab = [f"w{i:05d}" for i in range(3000)]
+    base = [rng.choice(vocab) for _ in range(300)]
+
+    def page(url, text):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(text, "t")), lang="en")
+
+    inc.process_batch(spark.createDataFrame([page("https://cb.test/", " ".join(base))]), 0)
+    inc.process_batch(
+        spark.createDataFrame([page("https://cs.test/", " ".join(base[100:200]))]), 1
+    )
+    assert inc.clusters().select("cluster_id").distinct().count() == 2
+
+    cmd = [
+        sys.executable, "-m", "infoscience_imports_spark.cli", "compact",
+        "--state", state, "--deep", "--state-buckets", "8",
+        "--cores", "4", "--shuffle-partitions", "8",
+    ]
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["merged"] == 1, payload
+    spark.catalog.refreshByPath(inc.cluster_dir)
+    assert inc.clusters().select("cluster_id").distinct().count() == 1
+    shutil.rmtree(state)
