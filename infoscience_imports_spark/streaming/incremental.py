@@ -571,6 +571,25 @@ class IncrementalNearDedup(IncrementalDedup):
         if deep:
             de = self._deep_edges()
             if de is not None:
+                # persist the deep-family discoveries into edge state FIRST:
+                # the edge store must stay the superset of every link any
+                # compaction has acted on, or a later SHALLOW compact (CC
+                # over stored edges only) would re-split clusters that only
+                # a deep edge merged. Stored minus already-known, so repeated
+                # deep passes don't grow the store. batch_id=-1 marks
+                # compaction-discovered rows.
+                fresh_deep = de
+                if n_edges:
+                    fresh_deep = fresh_deep.join(
+                        self.spark.read.parquet(self.edge_dir).select("id1", "id2"),
+                        on=["id1", "id2"],
+                        how="left_anti",
+                    )
+                fresh_deep = (
+                    fresh_deep.withColumn("batch_id", F.lit(-1))
+                    .localCheckpoint(eager=True)  # cut lineage off the dir it appends to
+                )
+                fresh_deep.write.mode("append").parquet(self.edge_dir)
                 edge_frames.append(de)
         if not edge_frames:
             return {

@@ -477,6 +477,16 @@ def test_deep_compact_links_contain_and_titledup_across_batches(spark):
     assert cl[ids["big"]] != cl[ids["t1"]]
     # idempotent: the deep families rediscover the same edges, merge nothing
     assert inc.compact(deep=True)["merged"] == 0
+    # deep discoveries were persisted into edge state, so a later SHALLOW
+    # compact (CC over stored edges only) must NOT re-split the merged
+    # clusters — the edge store stays a superset of every acted-on link
+    assert inc.compact()["merged"] == 0
+    cl2 = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl2 == cl
+    # and repeated deep passes do not grow the edge store
+    n_rows = spark.read.parquet(inc.edge_dir).count()
+    inc.compact(deep=True)
+    assert spark.read.parquet(inc.edge_dir).count() == n_rows
     shutil.rmtree(state)
 
 
