@@ -59,48 +59,49 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """(band, bucket, doc_id) -> distinct (id1, id2) with id1 < id2.
 
-    Hot-bucket detection uses ONE partial-aggregated stats pass (count +
-    min/max doc_id per bucket — all combiner-friendly, no per-bucket
-    materialization even for a 10^7-doc mega-bucket) whose hot slice is
-    **broadcast** once, carrying the hub ids with it. Hot buckets degrade to
-    star pairing against their min/max doc_id hubs; everything downstream of
-    the single stats shuffle is map-side except the self-join and the final
-    distinct (round-3: the previous form paid two extra groupBy/broadcast
-    stage barriers per call — pure fixed cost at any scale).
+    Hot-bucket detection uses ONE stats pass (count + min/max doc_id per
+    bucket) whose hot slice is **broadcast** once, carrying the hub ids with
+    it. Hot buckets degrade to star pairing against their min/max doc_id
+    hubs (map-side broadcast join + inline hub explode over the RAW bucket
+    table — no partitioning requirement, so no exchange). Non-hot buckets
+    are provably <= ``bucket_cap`` docs after the anti-join, so intra-bucket
+    pairing needs no join at all: each bucket collects into a BOUNDED array
+    and the C(c,2) combinations are emitted map-side by higher-order
+    functions (round 4 — this replaced a shuffle-hash SELF-JOIN: the join's
+    per-partition hash relation over the full bucket table was both the
+    memory hazard at web scale and wasted bytes locally; the array form is
+    spill-friendly ObjectHashAggregate and measured shuffle write/read
+    96.8/126.8 MB -> 60.7/60.7 MB on the same 50k-page corpus with CPU
+    parity within host noise — /tmp A/B series recorded in
+    BENCH/BASELINE.md, pair-set identity checked at 50k and 200k pages).
 
-    The bucket table is pre-partitioned by (band, bucket) and lazily
-    ``localCheckpoint``-ed: its three consumers (stats aggregation, both
-    self-join sides, the hot-bucket star join) otherwise each shuffle the
-    FULL table independently — the plan shows zero ReusedExchange for this
-    self-join shape, hint or no hint — while a materialized common parent
-    RDD is computed once and its stage output shared (measured 5.2 s ->
-    3.7 s warm on a 5.76M-row table). On a cluster swap for reliable
-    checkpoint() if executor loss mid-stage must be survivable (same note
-    as components.py).
+    The earlier lazy ``localCheckpoint`` of a pre-repartitioned bucket table
+    was REMOVED in the same change: its LogicalRDD erases output
+    partitioning, so every consumer re-exchanged anyway — the checkpoint
+    paid a disk round-trip to defeat its own purpose (visible as an extra
+    ENSURE_REQUIREMENTS exchange in the round-3 plan captures).
 
     NOT fully lazy: the hot-slice probe below runs a bounded Spark job
-    (limit+1 collect) at plan-construction time, which also materializes
-    the localCheckpoint. Callers building speculative plans pay that probe
-    even if the returned frame is never executed; in the common
-    hot_collect_limit-exceeded-free case the cost is the bucket-table
-    stage they would pay anyway, paid early.
+    (limit+1 collect) at plan-construction time. Callers building
+    speculative plans pay that probe even if the returned frame is never
+    executed; it is one stats aggregation over the bucket table.
     """
-    pre = buckets.repartition("band", "bucket").localCheckpoint(eager=False)
+    pre = buckets.repartition("band", "bucket")
     stats = pre.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize"),
         F.min("doc_id").alias("h1"),
         F.max("doc_id").alias("h2"),
     )
     hot = stats.filter(F.col("bsize") > cfg.bucket_cap).select("band", "bucket", "h1", "h2")
-    # The hot slice has THREE broadcast consumers (two anti-joins + the star
+    # The hot slice has TWO broadcast consumers (the anti-join + the star
     # join). Left as a plan subtree, each broadcast build re-aggregates and
     # re-shuffles the full bucket table — and bucket keys are near-unique on
     # non-duplicate content, so the partial agg barely compresses that
-    # shuffle (measured: 3 full-table stats exchanges per candidate_pairs
-    # call, zero reuse). One bounded collect turns all three into literal
-    # broadcasts; corpora with a pathological hot-bucket count (measured,
-    # not guessed: limit+1 probe) keep the subtree form — driver memory is
-    # bounded either way.
+    # shuffle (measured round 3: one full-table stats exchange per consumer,
+    # zero reuse). One bounded collect turns both into literal broadcasts;
+    # corpora with a pathological hot-bucket count (measured, not guessed:
+    # limit+1 probe) keep the subtree form — driver memory is bounded
+    # either way.
     hot_rows = hot.limit(cfg.hot_collect_limit + 1).collect()
     if len(hot_rows) <= cfg.hot_collect_limit:
         hot = buckets.sparkSession.createDataFrame(hot_rows, schema=hot.schema)
@@ -108,31 +109,30 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     small = pre.join(
         F.broadcast(hot.select("band", "bucket")), on=["band", "bucket"], how="left_anti"
     )
-    # The self-join sides are O(corpus) — force a shuffle-hash join. Without
-    # the hint Catalyst sees a compressed-parquet size estimate under the
-    # broadcast threshold and builds a driver-side hash relation of the WHOLE
-    # bucket table: single-threaded, core-count-independent (measured 4x
-    # slower at 8 cores than 2 on 100k pages), and an executor/driver OOM at
-    # web scale. Shuffled by (band, bucket) both sides scale with executors
-    # and AQE still splits residual skew.
-    left = small.alias("l").hint("shuffle_hash")
-    right = small.alias("r").hint("shuffle_hash")
+    # Non-hot buckets hold <= bucket_cap docs (the anti-join guarantees it),
+    # so intra-bucket pairing needs no join: collect each bucket into a
+    # BOUNDED array (<= cap elements — a mega-bucket can never reach this
+    # aggregate) and emit the C(c,2) combinations map-side with higher-order
+    # functions. The explicit repartition feeds the collect_list agg its
+    # required partitioning in ONE exchange; Catalyst pushes the broadcast
+    # anti-join below it, so the exchange carries only cold-bucket rows.
+    members = F.sort_array(F.collect_list("doc_id"))
+    pair_expr = F.expr(
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members)), "
+        "y -> struct(x AS id1, y AS id2))))"
+    )
     small_pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
-        )
-        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        small.groupBy("band", "bucket")
+        .agg(members.alias("members"))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id1", "p.id2")
     )
 
     # hot buckets: star pairing against the two hubs carried in the broadcast
     # stats slice — map-side join + inline hub explode, no second aggregation
     big_pairs = (
-        pre.join(F.broadcast(hot), on=["band", "bucket"])
+        buckets.join(F.broadcast(hot), on=["band", "bucket"])
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.array("h1", "h2"))).alias("hub_id"),

@@ -166,14 +166,23 @@ class DedupPipeline:
         else:
             with_rep = keyed.join(mins, on="digest")
         reps = with_rep.filter(F.col("doc_id") == F.col("rep_id"))
-        # a representative IS its own rep by definition — no join-back needed
-        sg_reps = sigs.compute_signatures(
-            reps, self.cfg, include_shingles=False
-        ).withColumn("rep_id", F.col("doc_id"))
+        # a representative IS its own rep by definition — no join-back needed.
+        # The raw 128-perm minhash array is DROPPED before the snapshot
+        # write: every downstream consumer reads the derived columns (bands
+        # for bucketing, simhash64/bottomk for the other rules; verify
+        # recomputes shingles from text), so the only reader of the stored
+        # array is band_buckets' legacy-snapshot fallback. At ~1 KB/doc of
+        # near-incompressible values it dominated the snapshot row — pure
+        # dead write (the streaming docsig state made the same call,
+        # streaming/incremental.py:339-352).
+        sg_reps = (
+            sigs.compute_signatures(reps, self.cfg, include_shingles=False)
+            .withColumn("rep_id", F.col("doc_id"))
+            .drop("minhash")
+        )
         followers = with_rep.filter(F.col("doc_id") != F.col("rep_id")).select(
             "doc_id",
             "digest",
-            F.lit(None).cast("array<long>").alias("minhash"),
             F.lit(None).cast("array<long>").alias("bands"),
             F.lit(None).cast("long").alias("simhash64"),
             F.lit(None).cast("array<long>").alias("bottomk"),
