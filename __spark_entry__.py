@@ -173,8 +173,9 @@ def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
         .select("doc_id", "n", "s")
     )
     # prefix postings are still O(corpus): pin shuffle-hash (a size-estimate
-    # flip to broadcast would build a corpus-sized hash relation — same
-    # anti-scaling class as the LSH bucket self-join, operators/lsh.py)
+    # flip to broadcast would build a corpus-sized hash relation — the
+    # anti-scaling class the LSH candidate stage eliminated outright in
+    # round 4, operators/lsh.py)
     a = pref.alias("a").hint("shuffle_hash")
     b = pref.alias("b").hint("shuffle_hash")
     cand = (

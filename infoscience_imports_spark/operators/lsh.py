@@ -3,12 +3,13 @@
 Web-scale analogue of the reference's fuzzy candidate search (title +
 year±1 Solr query per record, ``clients/dspace_client_wrapper.py:95-116``):
 instead of one remote lookup per row, signatures are banded (b=32 x r=4) and
-docs sharing any band bucket become candidate pairs via a self-equi-join —
-one shuffle keyed by (band, bucket).
+docs sharing any band bucket become candidate pairs — one shuffle keyed by
+(band, bucket) groups each bucket into a bounded array whose C(c,2)
+combinations are emitted map-side (no self-join; round 4).
 
 Skew story (north_rule: "salted keys to defuse hot-bucket skew"):
-  - buckets are counted first; buckets <= cap pair all-vs-all (the join is
-    quadratic only within a bucket);
+  - buckets are counted first; buckets <= cap pair all-vs-all (pair
+    generation is quadratic only within a bucket);
   - hot buckets (boilerplate pages land here) switch to bounded-degree *star
     pairing* against the ``hub_count`` smallest doc_ids — this preserves
     connectivity for the components stage (what dedup needs) without the
@@ -17,7 +18,7 @@ Skew story (north_rule: "salted keys to defuse hot-bucket skew"):
 
 Also hosts the SimHash band path for short title-like fields: Manku-style
 block-combination tables (radius+3 blocks, keys over every 3-combination of
-block values) make the band self-join an exact superset of the Hamming ball
+block values) make the band-key match an exact superset of the Hamming ball
 with ~32-bit keys — random collisions stay ~corpus^2/2^32 instead of the
 corpus^2/2^16 blowup of single 16-bit bands — and a JVM-side
 ``bit_count(xor) <= radius`` filter removes the false positives.
@@ -72,8 +73,8 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     memory hazard at web scale and wasted bytes locally; the array form is
     spill-friendly ObjectHashAggregate and measured shuffle write/read
     96.8/126.8 MB -> 60.7/60.7 MB on the same 50k-page corpus with CPU
-    parity within host noise — /tmp A/B series recorded in
-    BENCH/BASELINE.md, pair-set identity checked at 50k and 200k pages).
+    parity within host noise — interleaved A/B series in BENCH/BASELINE.md,
+    pair-set identity checked at 50k and 200k pages).
 
     The earlier lazy ``localCheckpoint`` of a pre-repartitioned bucket table
     was REMOVED in the same change: its LogicalRDD erases output
