@@ -16,9 +16,13 @@ artifact was recorded in a window reading 0.336 parallel efficiency and
 showed a phantom 2.2x regression. Before the timed section this harness now
 probes the busy-loop parallel efficiency and WAITS (bounded attempts,
 ``SPARK_GRAFT_BENCH_MIN_EFF`` / ``SPARK_GRAFT_BENCH_PROBE_ATTEMPTS``) until
-the window reads clean; if it never does, it still emits — with
-``window_clean: false`` and the full probe history in the JSON — so the
-artifact carries its own admissibility verdict instead of needing a ledger
+the window reads clean — and because a window that opens can CLOSE mid-run
+(observed round 4: entry probe 0.856, exit probe 0.441, every timing ~2x),
+it re-probes AFTER the timed pass and RETRIES the whole pass (bounded,
+``SPARK_GRAFT_BENCH_RUN_RETRIES``) until one pass is clean on both ends.
+If none is, it still emits — the min-total pass, with ``window_clean:
+false`` and every attempt's forensics in the JSON — so the artifact
+carries its own admissibility verdict instead of needing a ledger
 footnote.
 """
 
@@ -109,105 +113,131 @@ def main() -> None:
 
     # probe gate: refuse to start the timed window while the host is in a
     # contended regime (round-3 verdict #1 — the canonical artifact must not
-    # need a ledger footnote to read). Bounded attempts; emits either way,
-    # with the probe history and a window_clean verdict embedded.
+    # need a ledger footnote to read). A window that opens can also CLOSE
+    # mid-pass, so each timed pass is re-probed on exit and retried
+    # (bounded) until one pass is clean on BOTH ends.
     min_eff = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_EFF", "0.85"))
     probe_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "10"))
     probe_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_SLEEP", "45"))
-    probes: list[float] = []
-    for attempt in range(max(1, probe_attempts)):
-        eff = _cpu_parallel_efficiency(cpus)
-        probes.append(eff)
-        if eff >= min_eff:
-            break
-        print(
-            f"[bench] contended window (parallel efficiency {eff} < {min_eff}), "
-            f"attempt {attempt + 1}/{probe_attempts}; sleeping {probe_sleep}s",
-            file=sys.stderr,
-        )
-        time.sleep(probe_sleep)
-    window_clean = probes[-1] >= min_eff
-
-    # min-wins per query (same noise-filter protocol as the webdedup attempts
-    # below and bench_scaling.py): this shared host shows sporadic multi-second
-    # stalls that land on random queries — single-shot timings recorded 62 s
-    # for a query that times 4 s on the very next run of the same session.
+    run_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RUN_RETRIES", "3"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    steal0 = _host_steal_ticks()
-    bench_t0 = time.monotonic()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(max(1, repeats)):
-            t0 = time.monotonic()
-            run_noop(qs[name](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        # queries that cache helper frames register them for release; a
-        # long-lived session running the whole suite must not accumulate
-        # per-query caches (round-3 verdict #5 / wrong #3)
-        entry_mod.release_caches()
 
-    # full dedup pipeline throughput on the synthetic web corpus.
-    # Materialize the corpus first — generation is Python-heavy and must not
-    # pollute the pipeline timing (it is the "download", not the engine).
-    # Min-wins over SPARK_GRAFT_BENCH_REPEATS attempts (default 2): this
-    # shared host shows sporadic multi-second stalls (measured 14.0 / 17.6 /
-    # 36.5 s for identical runs back-to-back); min-wins is the same
-    # noise-filter protocol the scaling bench uses.
+    # Materialize the webdedup corpus once, outside every timed pass —
+    # generation is Python-heavy and is the "download", not the engine.
     corpus_dir = tempfile.mkdtemp(prefix="bench-corpus-")
     pipeline_input(generate_web_pages(spark, WEBDEDUP_PAGES, seed=42)).write.mode(
         "overwrite"
     ).parquet(corpus_dir)
     pages = spark.read.parquet(corpus_dir)
     cfg = DedupConfig(shuffle_partitions=max(2 * cpus, 8))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    wall = float("inf")
-    for attempt in range(max(1, repeats)):
-        wh = tempfile.mkdtemp(prefix="bench-wh-")
-        pipe = DedupPipeline(
-            spark,
-            CheckpointStore(spark, wh),
-            cfg,
-            input_fingerprint=f"bench{WEBDEDUP_PAGES}-{attempt}",
+
+    def timed_pass(pass_idx: int) -> dict:
+        """One full timed pass: min-of-N per query + the pipeline run."""
+        # min-wins per query (same noise-filter protocol as bench_scaling):
+        # sporadic multi-second stalls land on random queries — single-shot
+        # timings recorded 62 s for a query that times 4 s on the next run.
+        steal0 = _host_steal_ticks()
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(max(1, repeats)):
+                t0 = time.monotonic()
+                run_noop(qs[name](spark, sf_dir))
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+            # queries that cache helper frames register them for release; a
+            # long-lived session running the whole suite must not accumulate
+            # per-query caches (round-3 verdict #5 / wrong #3)
+            entry_mod.release_caches()
+        wall = float("inf")
+        for attempt in range(max(1, repeats)):
+            wh = tempfile.mkdtemp(prefix="bench-wh-")
+            pipe = DedupPipeline(
+                spark,
+                CheckpointStore(spark, wh),
+                cfg,
+                input_fingerprint=f"bench{WEBDEDUP_PAGES}-{pass_idx}-{attempt}",
+            )
+            t0 = time.monotonic()
+            pipe.run(pages, resume=False)
+            wall = min(wall, time.monotonic() - t0)
+            shutil.rmtree(wh, ignore_errors=True)
+        timings["webdedup_pipeline_20k"] = round(wall, 3)
+        return {
+            "queries": timings,
+            "total": round(sum(timings.values()), 3),
+            "webdedup_wall": wall,
+            "steal_coresec": round((_host_steal_ticks() - steal0) / 100.0, 1),
+        }
+
+    attempts: list[dict] = []
+    chosen: dict | None = None
+    for pass_idx in range(max(1, run_retries)):
+        probes: list[float] = []
+        for attempt in range(max(1, probe_attempts)):
+            eff = _cpu_parallel_efficiency(cpus)
+            probes.append(eff)
+            if eff >= min_eff:
+                break
+            print(
+                f"[bench] contended window (parallel efficiency {eff} < {min_eff}), "
+                f"attempt {attempt + 1}/{probe_attempts}; sleeping {probe_sleep}s",
+                file=sys.stderr,
+            )
+            time.sleep(probe_sleep)
+        res = timed_pass(pass_idx)
+        res["entry_probes"] = probes
+        res["exit_probe"] = _cpu_parallel_efficiency(cpus)
+        res["clean"] = probes[-1] >= min_eff and res["exit_probe"] >= min_eff
+        attempts.append(res)
+        if res["clean"]:
+            chosen = res
+            break
+        print(
+            f"[bench] pass {pass_idx + 1}/{run_retries} not clean on both ends "
+            f"(entry {probes[-1]}, exit {res['exit_probe']}); "
+            f"{'retrying' if pass_idx + 1 < run_retries else 'out of retries'}",
+            file=sys.stderr,
         )
-        t0 = time.monotonic()
-        pipe.run(pages, resume=False)
-        wall = min(wall, time.monotonic() - t0)
-        shutil.rmtree(wh, ignore_errors=True)
+    if chosen is None:
+        chosen = min(attempts, key=lambda a: a["total"])
     shutil.rmtree(corpus_dir, ignore_errors=True)
-    timings["webdedup_pipeline_20k"] = round(wall, 3)
 
-    bench_wall = time.monotonic() - bench_t0
-    steal = (_host_steal_ticks() - steal0) / 100.0
-
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": total,
+                "value": chosen["total"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": chosen["queries"],
                 "sf": sf,
                 "webdedup_pages": WEBDEDUP_PAGES,
-                "webdedup_pages_per_sec": round(WEBDEDUP_PAGES / wall, 1),
+                "webdedup_pages_per_sec": round(
+                    WEBDEDUP_PAGES / chosen["webdedup_wall"], 1
+                ),
                 "cpus": cpus,
                 # noise forensics for this shared host: per-query timings are
                 # min-of-N attempts; steal is hypervisor CPU stolen from the
-                # whole host (core-seconds) across the timed window, and
-                # cpu_parallel_efficiency is a pure-Python N-way busy-loop
-                # ratio (1.0 = the N vCPUs are backed by N real cores)
-                "protocol": f"min-of-{max(1, repeats)} per query",
-                "host_steal_coresec": round(steal, 1),
-                "cpu_parallel_efficiency": _cpu_parallel_efficiency(cpus),
-                # probe-gate verdict: pre-window efficiency probes (the gate
-                # waited for the last one to clear min_eff, or exhausted its
-                # attempts) — cpu_parallel_efficiency above is the POST-window
-                # probe; both >= min_eff means the whole window was clean
-                "window_probes": probes,
-                "window_clean": window_clean,
+                # whole host (core-seconds) across the chosen pass, and the
+                # probes are pure-Python N-way busy-loop ratios (1.0 = the N
+                # vCPUs are backed by N real cores)
+                "protocol": f"min-of-{max(1, repeats)} per query; "
+                f"pass clean iff entry AND exit probes >= gate",
+                "host_steal_coresec": chosen["steal_coresec"],
+                "window_probes": chosen["entry_probes"],
+                "cpu_parallel_efficiency": chosen["exit_probe"],
+                "window_clean": chosen["clean"],
                 "min_eff_gate": min_eff,
+                "passes": [
+                    {
+                        "total": a["total"],
+                        "entry_probe": a["entry_probes"][-1],
+                        "exit_probe": a["exit_probe"],
+                        "steal_coresec": a["steal_coresec"],
+                        "clean": a["clean"],
+                    }
+                    for a in attempts
+                ],
             }
         )
     )
