@@ -56,13 +56,10 @@ CFG = DedupConfig()
 # helpers), so every cache goes through this registry and the harness calls
 # ``release_caches()`` between queries. Unpersist is lazy-blocking=False:
 # freeing is best-effort bookkeeping, not on the query's critical path.
-_CACHED_FRAMES: list[DataFrame] = []
-
-
 def _cached(df: DataFrame) -> DataFrame:
-    df = df.cache()
-    _CACHED_FRAMES.append(df)
-    return df
+    # delegates to the package registry (one registry, one drain point);
+    # its MEMORY_AND_DISK default is what .cache() gave these frames before
+    return _pkg_caching.persist_tracked(df)
 
 
 def release_caches() -> None:
@@ -70,11 +67,10 @@ def release_caches() -> None:
 
     Harness contract: callers that run many queries in one session (bench.py,
     the driver's correctness sweep) invoke this between queries; callers that
-    run one query and exit may skip it. Also drains the package-level
-    registry (operator-internal candidate-gate / posting-table persists).
+    run one query and exit may skip it. Drains the package-level registry
+    (query helpers and operator-internal candidate-gate / posting-table
+    persists all register there).
     """
-    while _CACHED_FRAMES:
-        _CACHED_FRAMES.pop().unpersist(blocking=False)
     _pkg_caching.release_all()
 
 

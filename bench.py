@@ -177,7 +177,9 @@ def main() -> None:
         for attempt in range(max(1, probe_attempts)):
             eff = _cpu_parallel_efficiency(cpus)
             probes.append(eff)
-            if eff >= min_eff:
+            if eff >= min_eff or attempt + 1 == probe_attempts:
+                # no sleep after the FINAL probe: the clean verdict compares
+                # against probes[-1], which must not be stale by a sleep
                 break
             print(
                 f"[bench] contended window (parallel efficiency {eff} < {min_eff}), "

@@ -29,16 +29,31 @@ from .session import get_spark
 from .sources.catalog import CheckpointStore, chain_fingerprint
 
 
+def _cfg_from_args(args: argparse.Namespace, spark) -> DedupConfig:
+    """DedupConfig from --config-json overrides + the session's parallelism.
+
+    ``--config-json`` takes a JSON object of DedupConfig field overrides
+    (unknown keys fail loudly — the dataclass rejects them). The SAME
+    overrides must be passed to every command that touches one state/
+    warehouse: fingerprints chain the config on the batch side, and on the
+    streaming side ``compact --deep`` re-VERIFIES with these thresholds and
+    persists the resulting edges permanently.
+    """
+    overrides = json.loads(args.config_json) if getattr(args, "config_json", None) else {}
+    overrides.setdefault(
+        "shuffle_partitions",
+        args.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return DedupConfig(**overrides)
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     spark = get_spark(
         app_name="webdedup",
         master=f"local[{args.cores}]" if args.cores else None,
         shuffle_partitions=args.shuffle_partitions,
     )
-    cfg = DedupConfig(
-        shuffle_partitions=args.shuffle_partitions
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    cfg = _cfg_from_args(args, spark)
     if args.input_format == "warc":
         from .sources.warc import read_warc, warc_pipeline_input
 
@@ -96,6 +111,11 @@ def cmd_compact(args: argparse.Namespace) -> int:
     fuzzy rule families over the text-self-contained doc state — the
     reference's stateless-re-run semantics (``README.md:463-471``) as a
     scheduled job instead of a full re-harvest.
+
+    ``--deep`` VERIFIES with the thresholds in effect here and appends the
+    resulting edges to permanent edge state: pass the stream's own config
+    via ``--config-json`` (e.g. ``{"jaccard_threshold": 0.85}``) or the
+    compaction would merge at thresholds the stream's policy rejects.
     """
     from .streaming.incremental import IncrementalNearDedup
 
@@ -104,10 +124,7 @@ def cmd_compact(args: argparse.Namespace) -> int:
         master=f"local[{args.cores}]" if args.cores else None,
         shuffle_partitions=args.shuffle_partitions,
     )
-    cfg = DedupConfig(
-        shuffle_partitions=args.shuffle_partitions
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    cfg = _cfg_from_args(args, spark)
     # MUST match the stream's bucket count: the cluster-state rewrite
     # re-derives dpart with it, and later micro-batches partition-prune
     # their known-docs reads by the same function
@@ -136,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--run-id", default=None)
     p_run.add_argument("--cores", type=int, default=None)
     p_run.add_argument("--shuffle-partitions", type=int, default=None)
+    p_run.add_argument("--config-json", default=None,
+                       help="JSON object of DedupConfig field overrides")
     p_run.set_defaults(fn=cmd_run)
 
     p_syn = sub.add_parser("synth", help="generate the synthetic corpus")
@@ -168,6 +187,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cmp.add_argument("--cores", type=int, default=None)
     p_cmp.add_argument("--shuffle-partitions", type=int, default=None)
+    p_cmp.add_argument("--config-json", default=None,
+                       help="JSON DedupConfig overrides — MUST match the stream's config")
     p_cmp.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)

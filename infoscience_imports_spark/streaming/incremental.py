@@ -223,7 +223,12 @@ class IncrementalDedup:
         # on one instance, and sharing one checkpointLocation would make the
         # second query inherit the first's FileStreamSource seen-files/offset
         # log for a different source format — files silently skipped or a
-        # restart failure
+        # restart failure. One-time upgrade cost for WARC streams that
+        # checkpointed at the old ROOT location: the subdir starts empty, so
+        # the first restart re-lists the whole input dir; output stays
+        # correct (digest/cluster state filter the re-ingest) but the
+        # re-parse is paid once. Spark offers no supported offset-log
+        # migration between locations.
         writer = (
             stream.writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", os.path.join(self.checkpoint_dir, "warc"))
@@ -513,7 +518,29 @@ class IncrementalNearDedup(IncrementalDedup):
             sg.unpersist()
 
     def clusters(self) -> DataFrame:
+        self._recover_cluster_swap()
         return self.spark.read.parquet(self.cluster_dir).select("doc_id", "cluster_id")
+
+    def _recover_cluster_swap(self) -> None:
+        """Heal a :meth:`compact` dir swap interrupted between its renames.
+
+        A kill between ``cluster_dir -> .pre-compact`` and
+        ``.compact-tmp -> cluster_dir`` leaves NO cluster dir; one after the
+        second rename but before the cleanup leaves a stale ``.pre-compact``
+        that would fail the next compact's first rename. Recovery: restore
+        ``.pre-compact`` when the live dir is missing (compaction is
+        idempotent — just re-run it), delete it when the live dir exists.
+        Stale ``.compact-tmp`` is always safe to drop (mode=overwrite
+        rewrites it).
+        """
+        import shutil
+
+        old = self.cluster_dir + ".pre-compact"
+        if os.path.isdir(old):
+            if os.path.isdir(self.cluster_dir):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, self.cluster_dir)
 
     def compact(self, deep: bool = False) -> dict:
         """Retro-merge compaction: batch CC over the accumulated verified
@@ -556,6 +583,7 @@ class IncrementalNearDedup(IncrementalDedup):
         """
         from ..operators.components import connected_components
 
+        self._recover_cluster_swap()
         if not os.path.isdir(self.cluster_dir):
             return {"docs": 0, "edges": 0, "clusters_before": 0, "clusters_after": 0, "merged": 0}
         clusters = self.spark.read.parquet(self.cluster_dir)
@@ -580,10 +608,19 @@ class IncrementalNearDedup(IncrementalDedup):
                 # compaction-discovered rows.
                 fresh_deep = de
                 if n_edges:
+                    # stream new-old edges are stored (new_id, old_id) in
+                    # arbitrary order while deep edges are canonical
+                    # (id1 < id2) — canonicalize the stored side or every
+                    # reversed known link re-appends as a duplicate here
+                    stored_canon = (
+                        self.spark.read.parquet(self.edge_dir)
+                        .select(
+                            F.least("id1", "id2").alias("id1"),
+                            F.greatest("id1", "id2").alias("id2"),
+                        )
+                    )
                     fresh_deep = fresh_deep.join(
-                        self.spark.read.parquet(self.edge_dir).select("id1", "id2"),
-                        on=["id1", "id2"],
-                        how="left_anti",
+                        stored_canon, on=["id1", "id2"], how="left_anti"
                     )
                 fresh_deep = (
                     fresh_deep.withColumn("batch_id", F.lit(-1))
@@ -603,10 +640,18 @@ class IncrementalNearDedup(IncrementalDedup):
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
         assign = connected_components(edges, self.cfg)
+        # Docs absent from the CC assignment fall back to their EXISTING
+        # cluster_id, not doc_id: edge state only covers batches run since
+        # edge persistence landed, so resetting unmatched docs to singletons
+        # would silently split any cluster whose merge edge predates the
+        # store. An old id is always a transitively-valid member id (cluster
+        # ids are member doc_ids), so the coalesce can only preserve or
+        # legitimately extend components — on state written entirely by this
+        # version it is identical to the previous doc_id fallback.
         rewritten = (
-            clusters.select("doc_id")
+            clusters.select("doc_id", F.col("cluster_id").alias("_prior"))
             .join(assign, on="doc_id", how="left")
-            .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+            .select("doc_id", F.coalesce("cluster_id", "_prior").alias("cluster_id"))
             .withColumn("dpart", self._part("doc_id"))
         )
         tmp = self.cluster_dir + ".compact-tmp"
@@ -663,6 +708,18 @@ class IncrementalNearDedup(IncrementalDedup):
                 f"{self.docsig_dir} lacks {sorted(missing)} (written by a "
                 "pre-deep version) — re-ingest, or run the batch pipeline "
                 "over the raw pages instead"
+            )
+        # a dir UPGRADED mid-stream passes the column check (parquet schema
+        # merge fills old files' missing columns with nulls) but its
+        # pre-upgrade rows would silently drop out of every rule family —
+        # the guard must catch partial state too, not just missing columns
+        if state.filter(F.col("text_norm").isNull() | F.col("bands").isNull()).limit(1).count():
+            raise ValueError(
+                "deep compaction found doc-state rows with NULL "
+                f"text_norm/bands in {self.docsig_dir} — state written "
+                "partly by a pre-deep version cannot be deep-compacted "
+                "(those docs would silently skip every rule family); "
+                "re-ingest, or run the batch pipeline over the raw pages"
             )
         state = state.persist(StorageLevel.MEMORY_AND_DISK)
         try:

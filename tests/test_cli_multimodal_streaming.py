@@ -528,3 +528,145 @@ def test_cli_compact_deep_subprocess(spark):
     spark.catalog.refreshByPath(inc.cluster_dir)
     assert inc.clusters().select("cluster_id").distinct().count() == 1
     shutil.rmtree(state)
+
+
+def test_compact_preserves_merges_older_than_edge_state(spark):
+    """Round-4 review: docs absent from the stored-edge CC must keep their
+    EXISTING cluster_id — resetting them to doc_id would silently re-split
+    any merge that predates edge persistence."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="compact-prior-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    # hand-built state: cluster {1,2} was merged by a pre-edge-state
+    # deployment (no edge row exists for it); stored edge links 30-40 only
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (30, 30), (40, 40)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(
+        inc.cluster_dir
+    )
+    spark.createDataFrame([(30, 40, 0)], "id1 long, id2 long, batch_id int").write.parquet(
+        inc.edge_dir
+    )
+    m = inc.compact()
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl[1] == 1 and cl[2] == 1, "pre-edge-state merge must survive compaction"
+    assert cl[30] == 30 and cl[40] == 30
+    assert m["merged"] == 1
+    shutil.rmtree(state)
+
+
+def test_compact_swap_crash_recovery(spark):
+    """Round-4 review: the cluster-state dir swap must heal both crash
+    states — between the two renames (live dir missing) and after the
+    second rename (stale .pre-compact blocks the next swap)."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="compact-crash-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(
+        inc.cluster_dir
+    )
+    # crash between the renames: live dir gone, .pre-compact holds the data
+    os.rename(inc.cluster_dir, inc.cluster_dir + ".pre-compact")
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl == {1: 1, 2: 1}, "clusters() must restore the interrupted swap"
+    # crash after the second rename: stale .pre-compact next to a live dir
+    os.makedirs(inc.cluster_dir + ".pre-compact")
+    with open(os.path.join(inc.cluster_dir + ".pre-compact", "junk"), "w") as f:
+        f.write("stale")
+    m = inc.compact()  # must not raise on the rename target existing
+    assert m["docs"] == 2
+    assert not os.path.isdir(inc.cluster_dir + ".pre-compact")
+    shutil.rmtree(state)
+
+
+def test_deep_compact_dedups_reversed_stored_edges(spark):
+    """Round-4 review: stream new-old edges are stored (new_id, old_id) in
+    arbitrary order; deep compaction rediscovers them in canonical order and
+    must not re-append reversed duplicates to edge state."""
+    import datetime
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="deep-reversed-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+    # the stream stores new-old edges as (new_id, old_id); a REVERSED row
+    # (id1 > id2) needs the second-ingested url to hash HIGHER than the
+    # first, so pick the ingest order from the computed doc_ids
+    urls = ["https://r1.test/", "https://r2.test/", "https://r3.test/"]
+    ids = {
+        r["url"]: r["doc_id"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", F.xxhash64("url").alias("doc_id"))
+        .collect()
+    }
+    first = min(urls, key=lambda u: ids[u])   # old doc, smaller id
+    second = max(urls, key=lambda u: ids[u])  # new doc, larger id -> reversed row
+    text = " ".join(f"tok{i:04d}" for i in range(200))
+
+    def page(url, t):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(t, "t")), lang="en")
+
+    inc.process_batch(spark.createDataFrame([page(first, text)]), 0)
+    inc.process_batch(spark.createDataFrame([page(second, text + " tail")]), 1)
+    stored = spark.read.parquet(inc.edge_dir).select("id1", "id2").collect()
+    assert any(r["id1"] > r["id2"] for r in stored), "planted case needs a reversed row"
+
+    n_before = spark.read.parquet(inc.edge_dir).count()
+    inc.compact(deep=True)
+    edges = spark.read.parquet(inc.edge_dir).select(
+        F.least("id1", "id2").alias("a"), F.greatest("id1", "id2").alias("b")
+    )
+    n_after = edges.count()
+    assert n_after == n_before, "deep compact re-appended an already-known reversed edge"
+    assert edges.distinct().count() == n_after
+    shutil.rmtree(state)
+
+
+def test_deep_compact_rejects_partially_migrated_state(spark):
+    """Round-4 review: a docsig dir holding BOTH pre-deep (narrow) and
+    post-deep (wide) files passes a column-presence check via parquet
+    schema fill — deep compaction must still refuse (nulls would silently
+    drop the old docs from every rule family)."""
+    import datetime
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="deep-mixed-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+    text = " ".join(f"tok{i:04d}" for i in range(120))
+    inc.process_batch(
+        spark.createDataFrame(
+            [Row(url="https://m1.test/", warc_ts=ts, html=bytearray(render_html(text, "t")), lang="en")]
+        ),
+        0,
+    )
+    # sneak a pre-deep (narrow) file into the same state dir
+    spark.read.parquet(inc.docsig_dir).select(
+        "doc_id", "shingles", "n_shingles", "dpart"
+    ).limit(1).withColumn("doc_id", F.col("doc_id") + 1).write.mode("append").partitionBy(
+        "dpart"
+    ).parquet(inc.docsig_dir)
+    with pytest.raises(ValueError, match="pre-deep|NULL"):
+        inc.compact(deep=True)
+    shutil.rmtree(state)
+
+
+def test_cli_config_json_overrides(spark):
+    """--config-json reaches DedupConfig; unknown keys fail loudly."""
+    import argparse
+
+    from infoscience_imports_spark.cli import _cfg_from_args
+
+    ns = argparse.Namespace(config_json='{"jaccard_threshold": 0.85}', shuffle_partitions=8)
+    cfg = _cfg_from_args(ns, spark)
+    assert cfg.jaccard_threshold == 0.85 and cfg.shuffle_partitions == 8
+    with pytest.raises(TypeError):
+        _cfg_from_args(argparse.Namespace(config_json='{"nope": 1}', shuffle_partitions=8), spark)
