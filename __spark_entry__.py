@@ -1193,13 +1193,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_signlsh": _ann_signlsh_sql(),
         "ann_ivf": """
-            WITH cells AS (
-              SELECT GREATEST(16, LEAST(4096, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k
-              FROM embeddings),
+            WITH nrows AS (SELECT COUNT(*) AS n FROM embeddings),
+            -- guarded integer sqrt: FLOOR(SQRT()) is FP and can be off by
+            -- one near large perfect squares; one-step correction mirrors
+            -- Python's math.isqrt exactly for any bigint count
+            s0 AS (SELECT n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s FROM nrows),
+            cells AS (
+              SELECT GREATEST(16, LEAST(4096,
+                       CASE WHEN s * s > n THEN s - 1
+                            WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                            ELSE s END)) AS k
+              FROM s0),
             cents AS (
               SELECT rn - 1 AS cid, cv FROM (
                 SELECT row_number() OVER (
-                         ORDER BY ((vec_id % 1000003) * 1103515245 + 12345) % 2147483647,
+                         -- (((id % m) + m) % m) emulates Spark's pmod for
+                         -- negative ids (DuckDB % is sign-preserving); the
+                         -- wrapped value is < 1000003 so the outer modulus
+                         -- operand stays positive and % == pmod there
+                         ORDER BY ((((vec_id % 1000003) + 1000003) % 1000003)
+                                   * 1103515245 + 12345) % 2147483647,
                                   vec_id) AS rn,
                        CAST(embedding AS DOUBLE[]) AS cv
                 FROM embeddings)

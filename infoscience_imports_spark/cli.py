@@ -23,6 +23,7 @@ import argparse
 import json
 import sys
 
+from . import caching
 from .config import DedupConfig
 from .plans.pipeline import STAGES, DedupPipeline
 from .session import get_spark
@@ -69,7 +70,12 @@ def cmd_run(args: argparse.Namespace) -> int:
     stages = STAGES if args.stage == "all" else tuple(
         s for s in STAGES if STAGES.index(s) <= STAGES.index(args.stage)
     )
-    res = pipe.run(pages, stages=stages, resume=args.resume)
+    try:
+        res = pipe.run(pages, stages=stages, resume=args.resume)
+    finally:
+        # drain operator-internal tracked persists (round-5 ADVICE): the
+        # CLI process may be long-lived under a scheduler wrapper
+        caching.release_all()
     print(
         json.dumps(
             {

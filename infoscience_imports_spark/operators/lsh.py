@@ -117,7 +117,14 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     # functions. The explicit repartition feeds the collect_list agg its
     # required partitioning in ONE exchange; Catalyst pushes the broadcast
     # anti-join below it, so the exchange carries only cold-bucket rows.
-    members = F.sort_array(F.collect_list("doc_id"))
+    # collect_set, not collect_list: duplicate (band, bucket, doc_id) input
+    # rows would otherwise place a doc next to itself in the sorted array
+    # and the strict i < j combination emits an id1 == id2 self-pair — a
+    # bogus edge that verifies at jaccard 1.0. The replaced self-join's
+    # doc_id < doc_id filter suppressed these; the set keeps the rewrite's
+    # contract identical to the join under any input (and is still bounded:
+    # |set| <= |list| <= bucket_cap).
+    members = F.sort_array(F.collect_set("doc_id"))
     pair_expr = F.expr(
         "flatten(transform(members, (x, i) -> "
         "transform(slice(members, i + 2, size(members)), "

@@ -428,7 +428,11 @@ def ivf_assign_udf(centers: np.ndarray, nprobe: int = 1):
 # intermediate under 2^51 so ANSI-mode bigint arithmetic can't overflow in
 # either engine. Any corpus id maps to a pseudo-random rank BOTH engines
 # compute exactly (pure integer arithmetic) — which is what lets the DuckDB
-# oracle reconstruct the identical exemplar set with plain SQL.
+# oracle reconstruct the identical exemplar set with plain SQL. NOTE on
+# negative ids (e.g. xxhash64-derived): Spark's pmod() is always
+# non-negative while naive SQL `%` is sign-preserving, so an oracle using
+# bare `%` would pick a DIFFERENT exemplar set — the shipped oracle wraps
+# the inner operand as ((id % m) + m) % m to emulate pmod (round-5 ADVICE).
 _IVF_LCG_SQL = "pmod(pmod({id}, 1000003) * 1103515245 + 12345, 2147483647)"
 
 

@@ -581,6 +581,20 @@ class IncrementalNearDedup(IncrementalDedup):
         Idempotent: a second pass with no new edges rewrites nothing.
         Returns metrics (docs, edges, clusters before/after, merged count).
         """
+        from .. import caching
+
+        try:
+            return self._compact_inner(deep)
+        finally:
+            # Operator-internal persists (candidate-gate broadcasts, bottom-k
+            # posting tables) registered via caching.persist_tracked are
+            # otherwise drained only by the bench harness's release_caches();
+            # a long-lived process running repeated deep compactions would
+            # accumulate them (round-5 ADVICE). Release is non-blocking and
+            # runs after every action here has executed.
+            caching.release_all()
+
+    def _compact_inner(self, deep: bool) -> dict:
         from ..operators.components import connected_components
 
         self._recover_cluster_swap()
@@ -639,15 +653,25 @@ class IncrementalNearDedup(IncrementalDedup):
         edges = edge_frames[0]
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
+        # Seed the component graph with PRIOR-ASSIGNMENT edges (doc ->
+        # current cluster_id for every non-singleton doc). Without the seed,
+        # a cluster whose merge edge predates edge-state persistence can be
+        # SPLIT by compaction: if one member of old cluster B gains a stored
+        # edge to lower-id doc D, CC relabels that member (and B itself, if
+        # present) to D while old partners absent from edge state keep label
+        # B via the coalesce below — landing in a different cluster than B
+        # (round-5 ADVICE). With every previously-merged doc in the graph,
+        # CC can only preserve or legitimately extend components; the
+        # coalesce then covers only true singletons. Prior links are
+        # O(non-singleton docs) — same order as the edge state itself.
+        prior_links = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("id1"), F.col("cluster_id").alias("id2")
+        )
+        edges = edges.unionByName(prior_links)
         assign = connected_components(edges, self.cfg)
         # Docs absent from the CC assignment fall back to their EXISTING
-        # cluster_id, not doc_id: edge state only covers batches run since
-        # edge persistence landed, so resetting unmatched docs to singletons
-        # would silently split any cluster whose merge edge predates the
-        # store. An old id is always a transitively-valid member id (cluster
-        # ids are member doc_ids), so the coalesce can only preserve or
-        # legitimately extend components — on state written entirely by this
-        # version it is identical to the previous doc_id fallback.
+        # cluster_id (for seeded prior members that is never reached; this
+        # covers true singletons, whose cluster_id == doc_id).
         rewritten = (
             clusters.select("doc_id", F.col("cluster_id").alias("_prior"))
             .join(assign, on="doc_id", how="left")

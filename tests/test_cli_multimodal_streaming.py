@@ -556,6 +556,31 @@ def test_compact_preserves_merges_older_than_edge_state(spark):
     shutil.rmtree(state)
 
 
+def test_compact_seed_prevents_pre_edge_cluster_split(spark):
+    """Round-5 ADVICE (medium): when one member of a pre-edge-state cluster
+    (label 10 = {10, 20}, merge edge NOT in edge state) gains a stored edge
+    to a LOWER-id doc (5), compaction must carry the old partner (20) into
+    the merged component — without the prior-assignment seed, doc 20 kept
+    stale label 10 while doc 10 moved to 5, SPLITTING the old cluster."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="compact-split-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(5, 5), (10, 10), (20, 10)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(
+        inc.cluster_dir
+    )
+    spark.createDataFrame([(10, 5, 0)], "id1 long, id2 long, batch_id int").write.parquet(
+        inc.edge_dir
+    )
+    m = inc.compact()
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl == {5: 5, 10: 5, 20: 5}, f"old partner stranded on stale label: {cl}"
+    assert m["merged"] == 1, m
+    shutil.rmtree(state)
+
+
 def test_compact_swap_crash_recovery(spark):
     """Round-4 review: the cluster-state dir swap must heal both crash
     states — between the two renames (live dir missing) and after the

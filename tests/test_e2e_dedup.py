@@ -273,3 +273,20 @@ def test_width_scale_widens_groups_and_dedups_clean(spark):
     r, n = grouped_pair_recall(pages, pipe.clusters())
     assert n > 0 and r == 1.0
     pages.unpersist()
+
+
+def test_candidate_pairs_no_self_pairs_on_duplicate_bucket_rows(spark):
+    """Regression (round-5 ADVICE): duplicate (band, bucket, doc_id) input
+    rows must not produce id1 == id2 self-pairs from the array-based pair
+    generator — the replaced self-join's strict doc_id< filter suppressed
+    them, and the rewrite's contract must match under any input."""
+    from infoscience_imports_spark.operators.lsh import candidate_pairs
+
+    rows = [
+        (0, "b0", 1), (0, "b0", 1), (0, "b0", 2),   # dup row for doc 1
+        (1, "b1", 3), (1, "b1", 3),                  # bucket with ONLY a dup row
+        (2, "b2", 4),
+    ]
+    buckets = spark.createDataFrame(rows, "band int, bucket string, doc_id bigint")
+    got = {(r["id1"], r["id2"]) for r in candidate_pairs(buckets).collect()}
+    assert got == {(1, 2)}, got

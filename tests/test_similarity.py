@@ -263,3 +263,53 @@ def test_probe_masks():
     assert len(masks) == 1 + 6 + 15
     assert len(set(masks)) == len(masks)
     assert all(bin(m).count("1") <= 2 for m in masks)
+
+
+def test_ivf_lcg_oracle_emulation_handles_negative_ids():
+    """Round-5 ADVICE: Spark pmod() is non-negative, DuckDB % is
+    sign-preserving — the oracle must wrap operands to pick the SAME
+    exemplar ranks for negative (e.g. xxhash64-derived) ids."""
+    import duckdb
+
+    ids = [-(2**63) + 1, -2_000_007, -1_000_003, -5, -1, 0, 1, 999, 10**12]
+    # Python % with a positive modulus is non-negative == Spark pmod
+    want = {
+        i: ((i % 1000003) * 1103515245 + 12345) % 2147483647 for i in ids
+    }
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            "SELECT i, ((((i % 1000003) + 1000003) % 1000003)"
+            " * 1103515245 + 12345) % 2147483647"
+            " FROM (SELECT UNNEST(?::BIGINT[]) AS i)",
+            [ids],
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_guarded_sql_isqrt_matches_math_isqrt():
+    """FLOOR(SQRT(n)) is FP and can be off-by-one near large perfect
+    squares; the oracle's one-step correction must equal math.isqrt."""
+    import math
+
+    import duckdb
+
+    ns = sorted(
+        {0, 1, 2, 3, 4, 15, 16, 17, 2**52 - 1, 2**52, (2**26) ** 2 - 1,
+         (2**26) ** 2, (2**26) ** 2 + 1, 10**15, 4503599627370496,
+         (10**7) ** 2 - 1, (10**7) ** 2}
+    )
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            "SELECT n, CASE WHEN s*s > n THEN s-1"
+            " WHEN (s+1)*(s+1) <= n THEN s+1 ELSE s END"
+            " FROM (SELECT n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s"
+            "       FROM (SELECT UNNEST(?::BIGINT[]) AS n))",
+            [ns],
+        ).fetchall()
+    )
+    con.close()
+    assert got == {n: math.isqrt(n) for n in ns}
