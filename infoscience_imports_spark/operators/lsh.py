@@ -26,7 +26,7 @@ corpus^2/2^16 blowup of single 16-bit bands — and a JVM-side
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT_CONFIG
@@ -54,6 +54,20 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     )
     return signatures.select(
         "doc_id", F.posexplode(bucket_cols).alias("band", "bucket")
+    )
+
+
+def pair_combinations_expr(col: str = "members") -> Column:
+    """C(n,2) ordered pairs from a SORTED DISTINCT array column, emitted
+    map-side by higher-order functions (no join, no shuffle beyond the
+    aggregation that built the array). ``struct(id1, id2)`` rows with
+    id1 < id2 guaranteed by the sort + strict slice offset. Shared by
+    :func:`candidate_pairs` and the pipeline's bounded
+    ``duplicate_pairs()`` recall frame."""
+    return F.expr(
+        f"flatten(transform({col}, (x, i) -> "
+        f"transform(slice({col}, i + 2, size({col})), "
+        "y -> struct(x AS id1, y AS id2))))"
     )
 
 
@@ -125,11 +139,7 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     # contract identical to the join under any input (and is still bounded:
     # |set| <= |list| <= bucket_cap).
     members = F.sort_array(F.collect_set("doc_id"))
-    pair_expr = F.expr(
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members)), "
-        "y -> struct(x AS id1, y AS id2))))"
-    )
+    pair_expr = pair_combinations_expr()
     small_pairs = (
         small.groupBy("band", "bucket")
         .agg(members.alias("members"))

@@ -387,12 +387,42 @@ class DedupPipeline:
     def clusters(self) -> DataFrame:
         return self.store.read("components", self.fingerprint("components"))
 
-    def duplicate_pairs(self) -> DataFrame:
-        """All co-clustered pairs (id1 < id2) — the recall-metric frame."""
-        c = self.clusters()
-        a, b = c.alias("a"), c.alias("b")
+    def duplicate_pairs(self, max_cluster_size: int = 10_000) -> DataFrame:
+        """All co-clustered pairs (id1 < id2) — the recall-metric frame.
+
+        Pair OUTPUT is inherently O(Σ c_i²), so a mega-cluster makes the
+        frame itself intractable no matter the plan (round-4 verdict: the
+        previous cluster-table self-join exploded quadratically on one hot
+        cluster). Guarded: one stats pass measures the largest cluster
+        first and raises past ``max_cluster_size`` with a pointer to
+        :func:`~..sources.synthetic.grouped_pair_recall` — the linear-space
+        scorer the soak harness uses, which never materializes pairs.
+        Under the cap, pairs are emitted map-side from bounded per-cluster
+        arrays (:func:`~..operators.lsh.pair_combinations_expr`, the same
+        shape as the candidate-pair rewrite) instead of a self-join whose
+        per-partition hash relation would hold the full cluster table.
+        """
+        from ..operators.lsh import pair_combinations_expr
+
+        c = self.clusters().select("doc_id", "cluster_id")
+        mx_row = (
+            c.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("csize"))
+            .agg(F.max("csize"))
+            .collect()[0]
+        )
+        mx = mx_row[0] or 0
+        if mx > max_cluster_size:
+            raise ValueError(
+                f"largest cluster has {mx} members > max_cluster_size="
+                f"{max_cluster_size}: the pair frame would hold ~{mx}^2/2 "
+                "rows for that cluster alone. For recall metrics use the "
+                "linear-space sources.synthetic.grouped_pair_recall; to "
+                "materialize pairs anyway pass an explicit higher cap."
+            )
         return (
-            a.join(b, on=F.col("a.cluster_id") == F.col("b.cluster_id"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+            c.groupBy("cluster_id")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
+            .select(F.explode(pair_combinations_expr()).alias("p"))
+            .select("p.id1", "p.id2")
         )

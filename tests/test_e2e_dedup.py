@@ -290,3 +290,30 @@ def test_candidate_pairs_no_self_pairs_on_duplicate_bucket_rows(spark):
     buckets = spark.createDataFrame(rows, "band int, bucket string, doc_id bigint")
     got = {(r["id1"], r["id2"]) for r in candidate_pairs(buckets).collect()}
     assert got == {(1, 2)}, got
+
+
+def test_duplicate_pairs_bounded_and_correct(spark):
+    """Round-5 verdict #3: duplicate_pairs() must stay linear-space on the
+    shuffle (bounded per-cluster arrays, no cluster-table self-join) and
+    refuse a mega-cluster whose pair frame would be ~c^2/2 rows, pointing
+    at the linear-space scorer."""
+    from infoscience_imports_spark.plans.pipeline import DedupPipeline
+
+    pipe = DedupPipeline(
+        spark, CheckpointStore(spark, tempfile.mkdtemp()), DedupConfig(shuffle_partitions=8)
+    )
+    small = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)], "doc_id long, cluster_id long"
+    )
+    pipe.clusters = lambda: small
+    got = {(r["id1"], r["id2"]) for r in pipe.duplicate_pairs().collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (5, 6)}
+
+    mega = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("cluster_id")
+    )
+    pipe.clusters = lambda: mega
+    with pytest.raises(ValueError, match="grouped_pair_recall"):
+        pipe.duplicate_pairs(max_cluster_size=1000)
+    # an explicit higher cap still materializes the full combination set
+    assert pipe.duplicate_pairs(max_cluster_size=3000).count() == 3000 * 2999 // 2
