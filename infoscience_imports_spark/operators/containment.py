@@ -204,6 +204,81 @@ def containment_candidates(
     return matched
 
 
+def containment_candidates_scoped(
+    signatures: DataFrame,
+    probe_docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(small_id, big_id) containment candidates where at least ONE side is
+    in ``probe_docs`` — the incremental deep-compaction path.
+
+    ``signatures`` must carry (doc_id, n_shingles, bottomk, **shingles**):
+    unlike :func:`containment_candidates` (which re-shingles ``text_norm``
+    in an Arrow kernel — the right trade for a one-shot batch pass), the
+    scoped form reads the STORED shingle sets, because streaming doc state
+    keeps them and a recurring incremental pass must not re-tokenize the
+    whole corpus to link a handful of new docs.
+
+    Scale shape: no full-corpus shuffle. Both directions join a tiny
+    probe-side frame (new docs × bottom-k = 8 rows/doc, or new docs ×
+    shingles) against the corpus-side explode; the probe side is
+    measured-gated for broadcast (:func:`~.verify.gate_broadcast`), so the
+    corpus explode pipelines map-side into a broadcast hash join and only
+    matches ever shuffle. The corpus-side columnar SCAN is O(state) — the
+    honest floor without a hash-partitioned posting index; on Iceberg,
+    bloom-filter file skipping on ``sh`` would cut that too. Old-old pairs
+    are excluded by construction: the inductive watermark contract
+    (see ``IncrementalNearDedup.compact``) guarantees the pass that set the
+    watermark already generated them.
+    """
+    k = cfg.bottomk
+    probe = probe_docs.select("doc_id")
+    new_sig = signatures.join(probe, on="doc_id", how="left_semi")
+
+    # direction A: new doc is the BIG side — all docs' bottom-k probes the
+    # new docs' full shingle sets
+    sh_new = new_sig.select(
+        F.col("doc_id").alias("big_id"),
+        F.col("n_shingles").alias("big_n"),
+        F.explode("shingles").alias("sh"),
+    )
+    bk_all = signatures.select(
+        F.col("doc_id").alias("small_id"),
+        F.col("n_shingles").alias("small_n"),
+        F.explode("bottomk").alias("sh"),
+    )
+    a = bk_all.join(gate_broadcast(sh_new, cfg.broadcast_pair_limit), on="sh")
+
+    # direction B: new doc is the SMALL side — its bottom-k probes all
+    # docs' stored shingle sets
+    bk_new = new_sig.select(
+        F.col("doc_id").alias("small_id"),
+        F.col("n_shingles").alias("small_n"),
+        F.explode("bottomk").alias("sh"),
+    )
+    sh_all = signatures.select(
+        F.col("doc_id").alias("big_id"),
+        F.col("n_shingles").alias("big_n"),
+        F.explode("shingles").alias("sh"),
+    )
+    b = sh_all.join(gate_broadcast(bk_new, cfg.broadcast_pair_limit), on="sh")
+
+    # distinct BEFORE the shared-hash count: a new-new pair appears in both
+    # directions and double-counting would inflate `shared` past the gate
+    matched = (
+        a.unionByName(b)
+        .filter(F.col("small_id") != F.col("big_id"))
+        .filter(F.col("big_n") > F.col("small_n"))
+        .select("small_id", "big_id", "sh")
+        .distinct()
+        .groupBy("small_id", "big_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= F.least(F.lit(cfg.bottomk_min_match), F.lit(k)))
+        .select("small_id", "big_id")
+    )
+    return matched
+
+
 _VERIFY_SCHEMA = StructType(
     [
         StructField("id1", LongType(), False),

@@ -286,12 +286,31 @@ class IncrementalNearDedup(IncrementalDedup):
         state_dir: str,
         cfg: DedupConfig = DEFAULT_CONFIG,
         n_state_buckets: int = 64,
+        compact_every: int | None = None,
+        deep_compact_every: int | None = None,
     ):
+        """``compact_every`` / ``deep_compact_every`` (round-4 verdict #6):
+        auto-compaction cadence in batches — every Nth batch ends with a
+        shallow ``compact()`` (CC over stored edges, O(edges)), every Mth
+        with a deep one (incremental by the batch_id watermark, so a
+        recurring deep cadence costs O(docs since last deep), not
+        O(corpus)). Running inside ``process_batch`` is safe by
+        construction: foreachBatch serializes micro-batches, so the
+        cluster-dir swap can never race a concurrent batch's pruned reads —
+        the hazard that makes MANUAL compaction require a quiesced stream.
+        ``None`` disables the policy (compact on demand only)."""
         super().__init__(spark, state_dir, cfg, n_state_buckets)
         self.bucket_dir = os.path.join(state_dir, "buckets")
         self.docsig_dir = os.path.join(state_dir, "docsigs")
         self.cluster_dir = os.path.join(state_dir, "clusters")
         self.edge_dir = os.path.join(state_dir, "edges")
+        for name, v in (("compact_every", compact_every),
+                        ("deep_compact_every", deep_compact_every)):
+            if v is not None and v < 1:
+                raise ValueError(f"{name} must be >= 1 or None, got {v}")
+        self.compact_every = compact_every
+        self.deep_compact_every = deep_compact_every
+        self.last_compact_metrics: dict | None = None
 
     def _part(self, *cols):
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_state_buckets)).cast("int")
@@ -516,6 +535,23 @@ class IncrementalNearDedup(IncrementalDedup):
                 df.unpersist()
             fresh.unpersist()
             sg.unpersist()
+        self._maybe_auto_compact(batch_id)
+
+    def _maybe_auto_compact(self, batch_id: int) -> None:
+        """End-of-batch cadence check; a due deep pass subsumes a shallow
+        one (deep runs the same CC over a superset of edges). Metrics of
+        the latest auto pass are kept on ``last_compact_metrics`` for
+        operator visibility."""
+        deep_due = (
+            self.deep_compact_every is not None
+            and (batch_id + 1) % self.deep_compact_every == 0
+        )
+        shallow_due = (
+            self.compact_every is not None
+            and (batch_id + 1) % self.compact_every == 0
+        )
+        if deep_due or shallow_due:
+            self.last_compact_metrics = self.compact(deep=deep_due)
 
     def clusters(self) -> DataFrame:
         self._recover_cluster_swap()
@@ -542,7 +578,55 @@ class IncrementalNearDedup(IncrementalDedup):
             else:
                 os.rename(old, self.cluster_dir)
 
-    def compact(self, deep: bool = False) -> dict:
+    # -- deep-compaction watermark ----------------------------------------------
+    @property
+    def _compact_meta_path(self) -> str:
+        return os.path.join(self.state_dir, "_compact_meta.json")
+
+    def _read_deep_watermark(self) -> int | None:
+        """Highest batch_id a completed deep pass has covered, or None if no
+        deep pass ever ran (→ the next deep pass must be full)."""
+        import json
+
+        try:
+            with open(self._compact_meta_path) as f:
+                v = json.load(f).get("deep_batch_watermark")
+            return int(v) if v is not None else None
+        except (OSError, ValueError):
+            return None
+
+    def _write_deep_watermark(self, wm: int) -> None:
+        """Atomic (tmp + rename) so a crash never leaves a torn marker; a
+        crash BEFORE the write just re-covers a few batches next pass —
+        deep generation is idempotent against the edge-state anti-join."""
+        import json
+
+        tmp = self._compact_meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"deep_batch_watermark": wm}, f)
+        os.replace(tmp, self._compact_meta_path)
+
+    def _deep_scope(self, full: bool):
+        """(scope_docs, next_watermark): the doc_ids admitted since the last
+        deep pass, and the batch_id the current pass will cover through.
+
+        scope_docs is None when the pass must be FULL: forced, first-ever
+        deep pass (no watermark — the inductive contract needs a full base
+        case), or no new_unique log to derive recency from."""
+        wm = self._read_deep_watermark()
+        if not os.path.isdir(self.new_dir):
+            return None, wm
+        log = self.spark.read.parquet(self.new_dir)
+        nxt = log.agg(F.max("batch_id")).collect()[0][0]
+        nxt = wm if nxt is None else max(nxt, wm if wm is not None else nxt)
+        if full or wm is None:
+            return None, nxt
+        scope = (
+            log.filter(F.col("batch_id") > F.lit(wm)).select("doc_id").distinct()
+        )
+        return scope, nxt
+
+    def compact(self, deep: bool = False, full_deep: bool = False) -> dict:
         """Retro-merge compaction: batch CC over the accumulated verified
         edges, rewriting every cluster id to its component minimum.
 
@@ -561,11 +645,24 @@ class IncrementalNearDedup(IncrementalDedup):
         edges with the stored history before the CC. The per-batch stream
         runs only the minhash family (per-batch simhash/containment would
         make micro-batch cost unbounded), so CONTAIN/TITLE_DUP-class
-        duplicates split across batches link only here — deep compaction is
-        the full equivalent of the reference's stateless re-run, at the cost
-        of a candidate-gen + verify pass over the whole corpus state (the
-        batch pipeline's edges-stage cost, not the shallow pass's
-        O(stored edges)).
+        duplicates split across batches link only here.
+
+        Deep passes are INCREMENTAL by the batch_id watermark (round-4
+        verdict #2): the first deep pass (or ``full_deep=True``) runs all
+        three families over the whole doc state and records the highest
+        batch_id covered in ``_compact_meta.json``; every later deep pass
+        scopes candidate GENERATION to docs admitted after the watermark —
+        minhash/simhash pairing runs only over (band, bucket) keys those
+        docs touch, containment probes only pairs with a new doc on one side
+        (:func:`~..operators.containment.containment_candidates_scoped`) —
+        then advances the watermark. Inductive contract: the pass that set
+        watermark W verified every candidate pair among docs ≤ W (full base
+        case + scoped steps), so old-old pairs never need regenerating and
+        recurring deep cost is proportional to NEW docs (plus a columnar
+        state scan), not stream age — the reference's sliding re-run window
+        (``main.py:164-173``) bounding history the same way. Verified deep
+        edges land in permanent edge state either way, so a later shallow
+        pass preserves them.
 
         Scale shape: edge state is O(verified duplicate pairs) — orders of
         magnitude under the corpus — and the CC is the same salted/gated
@@ -584,7 +681,7 @@ class IncrementalNearDedup(IncrementalDedup):
         from .. import caching
 
         try:
-            return self._compact_inner(deep)
+            return self._compact_inner(deep, full_deep)
         finally:
             # Operator-internal persists (candidate-gate broadcasts, bottom-k
             # posting tables) registered via caching.persist_tracked are
@@ -594,7 +691,7 @@ class IncrementalNearDedup(IncrementalDedup):
             # runs after every action here has executed.
             caching.release_all()
 
-    def _compact_inner(self, deep: bool) -> dict:
+    def _compact_inner(self, deep: bool, full_deep: bool = False) -> dict:
         from ..operators.components import connected_components
 
         self._recover_cluster_swap()
@@ -610,8 +707,12 @@ class IncrementalNearDedup(IncrementalDedup):
             n_edges = stored.count()
             if n_edges:
                 edge_frames.append(stored)
+        deep_scope = "none"
+        next_wm = None
         if deep:
-            de = self._deep_edges()
+            scope_docs, next_wm = self._deep_scope(full_deep)
+            deep_scope = "full" if scope_docs is None else "incremental"
+            de = self._deep_edges(scope_docs=scope_docs)
             if de is not None:
                 # persist the deep-family discoveries into edge state FIRST:
                 # the edge store must stay the superset of every link any
@@ -643,12 +744,17 @@ class IncrementalNearDedup(IncrementalDedup):
                 fresh_deep.write.mode("append").parquet(self.edge_dir)
                 edge_frames.append(de)
         if not edge_frames:
+            # deep generation DID run to completion over its scope — advance
+            # the watermark even though nothing needs rewriting
+            if deep and next_wm is not None:
+                self._write_deep_watermark(int(next_wm))
             return {
                 "docs": n_docs,
                 "edges": 0,
                 "clusters_before": n_before,
                 "clusters_after": n_before,
                 "merged": 0,
+                "deep_scope": deep_scope,
             }
         edges = edge_frames[0]
         for e in edge_frames[1:]:
@@ -688,15 +794,20 @@ class IncrementalNearDedup(IncrementalDedup):
         shutil.rmtree(old)
         self.spark.catalog.refreshByPath(self.cluster_dir)
         n_after = self.clusters().select("cluster_id").distinct().count()
+        # watermark advances only after the swap lands: a crash mid-swap
+        # re-covers this scope next pass (idempotent via the edge anti-join)
+        if deep and next_wm is not None:
+            self._write_deep_watermark(int(next_wm))
         return {
             "docs": n_docs,
             "edges": n_edges,
             "clusters_before": n_before,
             "clusters_after": n_after,
             "merged": n_before - n_after,
+            "deep_scope": deep_scope,
         }
 
-    def _deep_edges(self):
+    def _deep_edges(self, scope_docs: DataFrame | None = None):
         """The batch pipeline's edges stage, re-run over doc state.
 
         Doc state is text-self-contained (doc_id, shingles, n_shingles,
@@ -714,6 +825,19 @@ class IncrementalNearDedup(IncrementalDedup):
         state written by a pre-deep version (no text/bands columns): deep
         compaction cannot be retrofitted onto lossy state — re-ingest or run
         the batch pipeline over the raw pages instead.
+
+        ``scope_docs`` (incremental mode): a frame of doc_ids admitted since
+        the last deep pass. Candidate generation is scoped — minhash/simhash
+        pairing runs only over the (band, bucket) keys those docs touch
+        (key derivation is a narrow column explode; the semi-join prunes
+        BEFORE the pairing aggregation, so the candidate shuffle is
+        O(touched buckets) not O(corpus)), pairs are filtered to those
+        involving a scope doc (old-old pairs in a touched bucket were
+        already verified by the pass that set the watermark), and
+        containment uses the stored-shingle probe form
+        (:func:`~..operators.containment.containment_candidates_scoped`).
+        Verify then runs only over the scoped pair set. Returns ``None``
+        when no scope doc has a doc-state row (nothing new to link).
         """
         from pyspark.storagelevel import StorageLevel
 
@@ -746,22 +870,76 @@ class IncrementalNearDedup(IncrementalDedup):
                 "re-ingest, or run the batch pipeline over the raw pages"
             )
         state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        new_state = None
         try:
             texts = state.select("doc_id", "text_norm")
-            mh = lsh.candidate_pairs(lsh.band_buckets(state, self.cfg), self.cfg).select(
-                "id1", "id2", F.lit("minhash").alias("rule")
-            )
-            contain = cont.containment_candidates(state, texts, self.cfg).select(
+            if scope_docs is None:
+                mh_pairs = lsh.candidate_pairs(
+                    lsh.band_buckets(state, self.cfg), self.cfg
+                )
+                contain_cand = cont.containment_candidates(state, texts, self.cfg)
+                sim = lsh.simhash_candidate_pairs(state, self.cfg)
+            else:
+                scope = scope_docs.select("doc_id")
+                new_state = state.join(scope, on="doc_id", how="left_semi").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                if not new_state.limit(1).count():
+                    return None
+
+                def involving(pairs: DataFrame) -> DataFrame:
+                    p1 = pairs.join(
+                        scope.select(F.col("doc_id").alias("id1")),
+                        on="id1",
+                        how="left_semi",
+                    )
+                    p2 = pairs.join(
+                        scope.select(F.col("doc_id").alias("id2")),
+                        on="id2",
+                        how="left_semi",
+                    )
+                    return (
+                        p1.select("id1", "id2")
+                        .unionByName(p2.select("id1", "id2"))
+                        .distinct()
+                    )
+
+                mh_keys = lsh.band_buckets(state, self.cfg).join(
+                    lsh.band_buckets(new_state, self.cfg)
+                    .select("band", "bucket")
+                    .distinct(),
+                    on=["band", "bucket"],
+                    how="left_semi",
+                )
+                mh_pairs = involving(lsh.candidate_pairs(mh_keys, self.cfg))
+                contain_cand = cont.containment_candidates_scoped(
+                    state, scope, self.cfg
+                )
+                sim_keys = lsh.simhash_band_keys(state, self.cfg).join(
+                    lsh.simhash_band_keys(new_state, self.cfg)
+                    .select("band", "bucket")
+                    .distinct(),
+                    on=["band", "bucket"],
+                    how="left_semi",
+                )
+                sp, gated = vfy.gate_broadcast_info(
+                    involving(lsh.candidate_pairs(sim_keys, self.cfg)),
+                    self.cfg.broadcast_pair_limit,
+                )
+                sim = lsh.hamming_edges(sp, state, self.cfg, gated=gated)
+            mh = mh_pairs.select("id1", "id2", F.lit("minhash").alias("rule"))
+            contain = contain_cand.select(
                 F.col("small_id").alias("id1"),
                 F.col("big_id").alias("id2"),
                 F.lit("contain").alias("rule"),
             )
             fuzzy = vfy.verify_tagged_pairs(mh.unionByName(contain), texts, self.cfg)
-            sim = lsh.simhash_candidate_pairs(state, self.cfg)
             out = fuzzy.select("id1", "id2").unionByName(sim.select("id1", "id2"))
             # materialize before unpersisting the state scan the plan hangs on
             return out.localCheckpoint(eager=True)
         finally:
+            if new_state is not None:
+                new_state.unpersist()
             state.unpersist()
 
 

@@ -695,3 +695,124 @@ def test_cli_config_json_overrides(spark):
     assert cfg.jaccard_threshold == 0.85 and cfg.shuffle_partitions == 8
     with pytest.raises(TypeError):
         _cfg_from_args(argparse.Namespace(config_json='{"nope": 1}', shuffle_partitions=8), spark)
+
+
+def test_incremental_deep_compact_finds_cross_batch_contain_bridge(spark):
+    """Round-5 verdict #2: after a full deep pass sets the batch_id
+    watermark, a later deep pass must run INCREMENTALLY — scoped to docs
+    admitted since — and still discover a cross-batch CONTAIN bridge the
+    per-batch path (minhash family only) structurally cannot link."""
+    import datetime
+    import random
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="inc-deep-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    ts = datetime.datetime(2026, 1, 1)
+    rng = random.Random(31)
+    vocab = [f"w{i:05d}" for i in range(3000)]
+    base = [rng.choice(vocab) for _ in range(300)]
+    other = [rng.choice(vocab) for _ in range(250)]
+
+    def page(url, words):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(" ".join(words), "t")), lang="en")
+
+    # batch 0: the big doc + an unrelated doc; FULL deep pass sets watermark
+    inc.process_batch(
+        spark.createDataFrame([page("https://big.test/", base), page("https://other.test/", other)]), 0
+    )
+    m0 = inc.compact(deep=True)
+    assert m0["deep_scope"] == "full", m0
+    assert inc._read_deep_watermark() == 0
+
+    # batch 1: a strict substring of the big doc (Jaccard ~0.33 — under the
+    # 0.7 verify threshold, so the per-batch minhash family never links it)
+    inc.process_batch(spark.createDataFrame([page("https://small.test/", base[100:200])]), 1)
+    assert inc.clusters().select("cluster_id").distinct().count() == 3
+
+    m1 = inc.compact(deep=True)
+    assert m1["deep_scope"] == "incremental", m1
+    assert m1["merged"] == 1, m1
+    assert inc.clusters().select("cluster_id").distinct().count() == 2
+    assert inc._read_deep_watermark() == 1
+
+    # idempotent: nothing new since the watermark -> no work, no merges
+    m2 = inc.compact(deep=True)
+    assert m2["deep_scope"] == "incremental" and m2["merged"] == 0, m2
+
+    # a forced FULL pass over the same state agrees with the incremental one
+    before = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    inc.compact(deep=True, full_deep=True)
+    after = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert before == after
+    shutil.rmtree(state)
+
+
+def test_auto_compaction_merges_late_bridge_without_manual_call(spark):
+    """Round-5 verdict #6: with a deep_compact_every cadence, a
+    CONTAIN-class bridge arriving in a later batch merges automatically at
+    the end of that batch — no operator-invoked compact()."""
+    import datetime
+    import random
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="auto-compact-")
+    inc = IncrementalNearDedup(
+        spark, state, DedupConfig(shuffle_partitions=8),
+        n_state_buckets=8, deep_compact_every=1,
+    )
+    ts = datetime.datetime(2026, 1, 1)
+    rng = random.Random(47)
+    vocab = [f"w{i:05d}" for i in range(3000)]
+    base = [rng.choice(vocab) for _ in range(300)]
+
+    def page(url, words):
+        return Row(url=url, warc_ts=ts, html=bytearray(render_html(" ".join(words), "t")), lang="en")
+
+    inc.process_batch(spark.createDataFrame([page("https://abig.test/", base)]), 0)
+    assert inc.last_compact_metrics is not None  # cadence fired (full base pass)
+    assert inc.last_compact_metrics["deep_scope"] == "full"
+    inc.process_batch(spark.createDataFrame([page("https://asmall.test/", base[100:200])]), 1)
+    # the batch-1 auto pass was incremental and merged the contain bridge
+    assert inc.last_compact_metrics["deep_scope"] == "incremental"
+    assert inc.last_compact_metrics["merged"] == 1
+    assert inc.clusters().select("cluster_id").distinct().count() == 1
+    shutil.rmtree(state)
+
+
+def test_cli_stream_subcommand_auto_compacts(spark, tmp_path):
+    """End-to-end CLI: `stream --deep-compact-every 1` drains a landing dir
+    with availableNow and reports merged clusters — no manual compact."""
+    import datetime
+    import random
+
+    from infoscience_imports_spark.sources.synthetic import render_html
+
+    rng = random.Random(53)
+    vocab = [f"w{i:05d}" for i in range(3000)]
+    base = [rng.choice(vocab) for _ in range(300)]
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        Row(url="https://big.test/", warc_ts=ts,
+            html=bytearray(render_html(" ".join(base), "t")), lang="en"),
+        Row(url="https://small.test/", warc_ts=ts,
+            html=bytearray(render_html(" ".join(base[100:200]), "t")), lang="en"),
+    ]
+    in_dir = str(tmp_path / "landing")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(in_dir)
+    state = str(tmp_path / "state")
+    cmd = [
+        sys.executable, "-m", "infoscience_imports_spark.cli", "stream",
+        "--input", in_dir, "--state", state, "--state-buckets", "8",
+        "--deep-compact-every", "1", "--cores", "4", "--shuffle-partitions", "8",
+    ]
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["docs"] == 2 and payload["clusters"] == 1, payload
+    assert payload["last_compact"]["merged"] >= 0
