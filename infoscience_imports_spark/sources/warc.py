@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     LongType,
     StringType,
@@ -183,30 +184,121 @@ def iter_warc_records(
     cr = _CountingReader(fh)
     index = 0
     while True:
-        parsed = _read_headers(cr)
-        if parsed is None:
+        rec = _next_record(cr, source_file)
+        if rec is None:
             return
-        headers, start = parsed
-        length = int(headers.get("content-length", "0"))
-        payload = cr.read(length)
-        if len(payload) < length:
-            raise ValueError(f"truncated WARC record in {source_file!r}")
-        rtype = headers.get("warc-type", "")
-        ts = headers.get("warc-date")
-        t = pd.Timestamp(ts) if ts else None
-        if t is not None and t.tzinfo is not None:
-            t = t.tz_convert("UTC").tz_localize(None)
-        yield {
-            "url": headers.get("warc-target-uri"),
-            "warc_ts": t,
-            "html": _http_body(payload) if rtype == "response" else payload,
-            "warc_type": rtype,
-            "record_index": index,
-            "byte_offset": start,
-            "source_file": source_file,
-            "defect": None,
-        }
+        rec["record_index"] = index
+        yield rec
         index += 1
+
+
+def _next_record(cr: _CountingReader, source_file: str = "") -> dict | None:
+    """Parse ONE record at the reader's current position (must be a record
+    boundary or inter-record separators). None at EOF; ``record_index`` is
+    left at -1 — only a full scan knows the ordinal."""
+    parsed = _read_headers(cr)
+    if parsed is None:
+        return None
+    headers, start = parsed
+    length = int(headers.get("content-length", "0"))
+    payload = cr.read(length)
+    if len(payload) < length:
+        raise ValueError(f"truncated WARC record in {source_file!r}")
+    rtype = headers.get("warc-type", "")
+    ts = headers.get("warc-date")
+    t = pd.Timestamp(ts) if ts else None
+    if t is not None and t.tzinfo is not None:
+        t = t.tz_convert("UTC").tz_localize(None)
+    return {
+        "url": headers.get("warc-target-uri"),
+        "warc_ts": t,
+        "html": _http_body(payload) if rtype == "response" else payload,
+        "warc_type": rtype,
+        "record_index": -1,
+        "byte_offset": start,
+        "source_file": source_file,
+        "defect": None,
+    }
+
+
+def read_warc_record_at(path: str, byte_offset: int) -> dict:
+    """Seek-to-offset single-record read — Common-Crawl-index semantics.
+
+    ``byte_offset`` is the record's start in the UNCOMPRESSED stream, i.e.
+    exactly what :func:`iter_warc_records` reported for it (round-4: the
+    offsets became true wire offsets; this is the range-fetch consumer —
+    dead-letter reprocessing re-reads one record without re-parsing the
+    archive). Plain ``.warc``: an O(1) file seek. ``.warc.gz``:
+    ``GzipFile.seek`` decompresses forward to the offset — no random
+    access without member boundaries (the documented _CountingReader
+    limit), but still skips all WARC/HTTP parsing before the target. On an
+    object store the plain-warc form maps to an HTTP Range request.
+    Raises ``ValueError`` when the offset is not a record boundary.
+    """
+    with _open_warc(path) as fh:
+        fh.seek(byte_offset)
+        cr = _CountingReader(fh)
+        rec = _next_record(cr, source_file=path)
+        if rec is None:
+            raise ValueError(f"no record at offset {byte_offset} in {path!r}")
+        rec["byte_offset"] = byte_offset + rec["byte_offset"]
+        return rec
+
+
+def read_warc_offsets(
+    spark: SparkSession,
+    locations: list[tuple[str, int]],
+    batch_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Distributed seek-to-offset re-read of specific records.
+
+    ``locations`` is a list of (path, byte_offset) pairs — e.g. the
+    (source_file, byte_offset) columns of rows adjacent to a dead-letter
+    defect, or a slice of a Common-Crawl-style index. Offsets are grouped
+    per file and visited in ASCENDING order inside one task, so a ``.gz``
+    archive pays one forward decompression per file instead of one per
+    record; distinct files fan out across tasks like
+    :func:`read_warc_paths`. Returns the same WARC_SCHEMA frame
+    (``record_index`` is -1: ordinals need a full scan).
+    """
+    by_file: dict[str, list[int]] = {}
+    for p, off in locations:
+        p = p[len("file:"):] if p.startswith("file:") else p
+        by_file.setdefault(p, []).append(int(off))
+    sc = spark.sparkContext
+    path_df = spark.createDataFrame(
+        [(p, sorted(offs)) for p, offs in by_file.items()],
+        StructType(
+            [
+                StructField("path", StringType(), False),
+                StructField("offsets", ArrayType(LongType()), False),
+            ]
+        ),
+    ).repartition(min(len(by_file) or 1, sc.defaultParallelism))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            held = 0
+            for path, offs in zip(pdf["path"], pdf["offsets"]):
+                with _open_warc(path) as fh:
+                    for off in offs:
+                        fh.seek(int(off))
+                        rec = _next_record(_CountingReader(fh), source_file=path)
+                        if rec is None:
+                            raise ValueError(
+                                f"no record at offset {off} in {path!r}"
+                            )
+                        rec["byte_offset"] = int(off)
+                        rows.append(rec)
+                        held += len(rec["html"] or b"")
+                        if held >= batch_bytes:
+                            yield pd.DataFrame(rows)
+                            rows, held = [], 0
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return path_df.mapInPandas(kernel, schema=WARC_SCHEMA)
 
 
 def _open_warc(path: str) -> io.BufferedIOBase:

@@ -238,3 +238,58 @@ def test_warc_streaming_incremental_dedup(spark, tmp_path):
 
     shutil.rmtree(in_dir)
     shutil.rmtree(state)
+
+
+def test_seek_to_offset_rereads_exactly_one_record(tmp_path):
+    """Round-5 verdict #5: the true byte_offset supports seek-to-offset
+    single-record re-reads (Common-Crawl-index semantics) — plain and gzip."""
+    from infoscience_imports_spark.sources.warc import read_warc_record_at
+
+    blob = _warc_bytes(RECORDS)
+    plain = tmp_path / "a.warc"
+    plain.write_bytes(blob)
+    gz = tmp_path / "a.warc.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(blob)
+
+    scanned = list(iter_warc_records(io.BytesIO(blob), "mem"))
+    target = scanned[3]
+    for path in (str(plain), str(gz)):
+        rec = read_warc_record_at(path, target["byte_offset"])
+        assert rec["url"] == RECORDS[3]["url"]
+        assert rec["html"] == RECORDS[3]["html"]
+        assert rec["byte_offset"] == target["byte_offset"]
+        assert rec["record_index"] == -1  # ordinal needs a full scan
+
+    # a non-boundary offset must fail loudly, not return garbage
+    with pytest.raises(ValueError, match="boundary"):
+        read_warc_record_at(str(plain), target["byte_offset"] + 1)
+
+
+def test_read_warc_offsets_distributed_reread(spark, tmp_path):
+    """Distributed (path, offset) re-read: one forward pass per gz file,
+    rows match the full-scan records they point at."""
+    from infoscience_imports_spark.sources.warc import read_warc_offsets
+
+    blob = _warc_bytes(RECORDS)
+    p1 = tmp_path / "one.warc"
+    p1.write_bytes(blob)
+    p2 = tmp_path / "two.warc.gz"
+    with gzip.open(p2, "wb") as f:
+        f.write(blob)
+    scanned = list(iter_warc_records(io.BytesIO(blob), "mem"))
+    # unsorted on purpose — the kernel must sort per file for one gz pass
+    locs = [
+        (str(p1), scanned[5]["byte_offset"]),
+        (str(p2), scanned[4]["byte_offset"]),
+        (str(p1), scanned[1]["byte_offset"]),
+        (str(p2), scanned[0]["byte_offset"]),
+    ]
+    got = read_warc_offsets(spark, locs).collect()
+    by_key = {(r["source_file"], r["byte_offset"]): r for r in got}
+    assert len(got) == 4
+    for path, off in locs:
+        idx = next(i for i, s in enumerate(scanned) if s["byte_offset"] == off)
+        r = by_key[(path, off)]
+        assert r["url"] == RECORDS[idx]["url"]
+        assert bytes(r["html"]) == RECORDS[idx]["html"]
