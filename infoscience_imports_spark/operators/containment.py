@@ -204,64 +204,65 @@ def containment_candidates(
     return matched
 
 
+def _containment_matches(
+    bk: DataFrame, texts: DataFrame, cfg: DedupConfig, n_bk: int
+) -> DataFrame:
+    """One direction of the bottom-k probe: (small_id, small_n, sh) sketch
+    rows joined against Bloom-prefiltered postings recomputed from
+    ``texts`` — the shared shape of the full and scoped candidate passes.
+    Returns raw (small_id, big_id, big_n, small_n, sh) match rows; triples
+    are distinct per direction (both sketch and postings emit distinct
+    hashes per doc)."""
+    bitmap, m_bits = build_bloom(bk, "sh", max(1, n_bk), cfg.bloom_bits_per_item)
+    bloom_bc = texts.sparkSession.sparkContext.broadcast(bitmap)
+    postings = _shingle_postings(texts, cfg, bloom_bc, m_bits)
+    return bk.join(postings, on="sh")
+
+
 def containment_candidates_scoped(
     signatures: DataFrame,
+    texts: DataFrame,
     probe_docs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """(small_id, big_id) containment candidates where at least ONE side is
     in ``probe_docs`` — the incremental deep-compaction path.
 
-    ``signatures`` must carry (doc_id, n_shingles, bottomk, **shingles**):
-    unlike :func:`containment_candidates` (which re-shingles ``text_norm``
-    in an Arrow kernel — the right trade for a one-shot batch pass), the
-    scoped form reads the STORED shingle sets, because streaming doc state
-    keeps them and a recurring incremental pass must not re-tokenize the
-    whole corpus to link a handful of new docs.
+    Same Bloom + Arrow-kernel posting machinery as
+    :func:`containment_candidates`, run once per direction:
 
-    Scale shape: no full-corpus shuffle. Both directions join a tiny
-    probe-side frame (new docs × bottom-k = 8 rows/doc, or new docs ×
-    shingles) against the corpus-side explode; the probe side is
-    measured-gated for broadcast (:func:`~.verify.gate_broadcast`), so the
-    corpus explode pipelines map-side into a broadcast hash join and only
-    matches ever shuffle. The corpus-side columnar SCAN is O(state) — the
-    honest floor without a hash-partitioned posting index; on Iceberg,
-    bloom-filter file skipping on ``sh`` would cut that too. Old-old pairs
-    are excluded by construction: the inductive watermark contract
-    (see ``IncrementalNearDedup.compact``) guarantees the pass that set the
-    watermark already generated them.
+    * new doc as SMALL side — the new docs' bottom-k sketches Bloom-filter
+      the postings of ALL texts (the kernel re-shingles the corpus but the
+      tiny new-docs Bloom keeps emitted/shuffled postings near zero);
+    * new doc as BIG side — the FULL bottom-k sketch table (8 narrow
+      longs/doc, a cheap columnar scan) Bloom-filters postings recomputed
+      from the NEW texts only.
+
+    Scale honesty: the small-side direction still pays an O(state) CPU
+    re-shingle per pass — the floor for containment without a persistent
+    per-hash posting index (hash-partitioned postings don't help: any real
+    batch's probe hashes touch every partition; on Iceberg, bloom-filter
+    file skipping on a stored posting table is the upgrade). What the scope
+    DOES cut to O(new): the shuffled posting volume, the candidate-pair
+    set, and everything downstream (verify text joins, the Rabin-Karp
+    kernel). Old-old pairs are excluded by the inductive watermark contract
+    (see ``IncrementalNearDedup.compact``).
     """
     k = cfg.bottomk
     probe = probe_docs.select("doc_id")
-    new_sig = signatures.join(probe, on="doc_id", how="left_semi")
-
-    # direction A: new doc is the BIG side — all docs' bottom-k probes the
-    # new docs' full shingle sets
-    sh_new = new_sig.select(
-        F.col("doc_id").alias("big_id"),
-        F.col("n_shingles").alias("big_n"),
-        F.explode("shingles").alias("sh"),
-    )
-    bk_all = signatures.select(
+    texts = texts.select("doc_id", "text_norm")
+    texts_new = texts.join(probe, on="doc_id", how="left_semi")
+    bk_cols = lambda df: df.select(  # noqa: E731
         F.col("doc_id").alias("small_id"),
         F.col("n_shingles").alias("small_n"),
         F.explode("bottomk").alias("sh"),
     )
-    a = bk_all.join(gate_broadcast(sh_new, cfg.broadcast_pair_limit), on="sh")
-
-    # direction B: new doc is the SMALL side — its bottom-k probes all
-    # docs' stored shingle sets
-    bk_new = new_sig.select(
-        F.col("doc_id").alias("small_id"),
-        F.col("n_shingles").alias("small_n"),
-        F.explode("bottomk").alias("sh"),
-    )
-    sh_all = signatures.select(
-        F.col("doc_id").alias("big_id"),
-        F.col("n_shingles").alias("big_n"),
-        F.explode("shingles").alias("sh"),
-    )
-    b = sh_all.join(gate_broadcast(bk_new, cfg.broadcast_pair_limit), on="sh")
+    bk_new = persist_tracked(bk_cols(
+        signatures.join(probe, on="doc_id", how="left_semi")
+    ))
+    bk_all = persist_tracked(bk_cols(signatures))
+    b = _containment_matches(bk_new, texts, cfg, bk_new.count())
+    a = _containment_matches(bk_all, texts_new, cfg, bk_all.count())
 
     # distinct BEFORE the shared-hash count: a new-new pair appears in both
     # directions and double-counting would inflate `shared` past the gate

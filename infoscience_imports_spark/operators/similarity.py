@@ -462,6 +462,7 @@ def ann_ivf_topk(
     id_q: str = "query_id",
     id_c: str = "vec_id",
     vec: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -471,10 +472,16 @@ def ann_ivf_topk(
     SEEDED pseudo-random exemplar sample: the ``n_cells`` corpus vectors
     with the smallest LCG-permuted id (deterministic integer arithmetic, so
     the DuckDB oracle reconstructs the identical exemplars from the table —
-    an algorithm twin; a k-means refinement would plug into the same
-    plumbing and only move recall). A sorted-id prefix was the round-3
-    version and is NOT a sample: under clustered or id-correlated data the
-    prefix lands in one region and cell populations skew arbitrarily.
+    an algorithm twin). A sorted-id prefix was the round-3 version and is
+    NOT a sample: under clustered or id-correlated data the prefix lands in
+    one region and cell populations skew arbitrarily.
+
+    ``kmeans_iters > 0`` (round-5): refine the exemplar centers with that
+    many seeded spherical-k-means iterations over a bounded LCG sample
+    (:func:`kmeans_refine_centers`) — deterministic, but NOT SQL-twinnable,
+    so the driver oracle keeps ``kmeans_iters=0``; the refinement's recall
+    win on clustered data is pinned by pytest instead
+    (tests/test_similarity.py planted-clusters test).
 
     Plan shape (the 100-TB part): corpus vectors are assigned to their
     nearest cell by ONE tiled Arrow kernel pass (narrow int column); each
@@ -486,17 +493,218 @@ def ann_ivf_topk(
     """
     if n_cells is None:
         n_cells = ivf_n_cells(corpus.count())
+    centers = _ivf_exemplars(corpus, n_cells, id_c, vec)
+    if kmeans_iters:
+        centers = kmeans_refine_centers(
+            corpus, centers, id_c=id_c, vec=vec, iters=kmeans_iters
+        )
+    cos = _cosine_pandas_udf()
+    assign1 = ivf_assign_udf(centers, nprobe=1)
+    assignp = ivf_assign_udf(centers, nprobe=nprobe)
+
+    c = corpus.select(
+        F.col(id_c).alias("neighbor_id"),
+        F.col(vec).alias("_cv"),
+        F.element_at(assign1(F.col(vec)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_q).alias("query_id"),
+        F.col(vec).alias("_qv"),
+        F.explode(assignp(F.col(vec))).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q).join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cos(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _ivf_exemplars(
+    corpus: DataFrame, n_cells: int, id_c: str, vec: str
+) -> np.ndarray:
+    """The ``n_cells`` corpus vectors with the smallest LCG-permuted id —
+    the shared seeded exemplar sample (bounded driver collect)."""
     lcg = F.expr(_IVF_LCG_SQL.format(id=id_c))
-    centers_rows = (
+    rows = (
         corpus.select(F.col(id_c).alias("_id"), F.col(vec).alias("_v"), lcg.alias("_h"))
         .orderBy("_h", "_id")
         .limit(n_cells)
         .collect()
     )
-    centers = np.asarray([r["_v"] for r in centers_rows], dtype=np.float64)
+    return np.asarray([r["_v"] for r in rows], dtype=np.float64)
+
+
+def kmeans_refine_centers(
+    corpus: DataFrame,
+    init_centers: np.ndarray,
+    id_c: str = "vec_id",
+    vec: str = "embedding",
+    iters: int = 5,
+    sample_per_cell: int = 32,
+    max_sample: int = 262_144,
+) -> np.ndarray:
+    """Seeded spherical k-means over a bounded LCG sample of the corpus.
+
+    Sample = the ``min(n_cells * sample_per_cell, max_sample)`` vectors
+    with the smallest LCG-permuted id — the same deterministic permutation
+    as the exemplar init, so refinement is reproducible run-to-run with no
+    RNG. Lloyd iterations run driver-side in numpy on the sample (bounded:
+    max_sample x dim doubles ~ 128 MB at dim=64 — the sample-based k-means
+    of Sculley WWW'10's web-scale recipe, minus the mini-batching the
+    bounded sample makes unnecessary). Assignment = argmax cosine (stable,
+    first-max ties); update = normalized member mean; empty cell keeps its
+    previous center. Returns a (n_cells, dim) float64 array ordered by
+    cell id, drop-in for the exemplar centers.
+    """
+    n_cells = init_centers.shape[0]
+    m = min(n_cells * sample_per_cell, max_sample)
+    sample = _ivf_exemplars(corpus, m, id_c, vec)
+    s = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    c = init_centers / np.maximum(
+        np.linalg.norm(init_centers, axis=1, keepdims=True), 1e-12
+    )
+    for _ in range(max(0, iters)):
+        sims = s @ c.T                      # (m, n_cells)
+        assign = np.argmax(sims, axis=1)    # first max -> deterministic ties
+        nxt = c.copy()
+        for j in np.unique(assign):
+            mean = s[assign == j].mean(axis=0)
+            norm = np.linalg.norm(mean)
+            if norm > 1e-12:
+                nxt[j] = mean / norm
+        c = nxt
+    return c
+
+
+def ivf2_assign_udf(
+    l1_centers: np.ndarray,
+    l2_centers: np.ndarray,
+    l2_to_l1: np.ndarray,
+    nprobe_l1: int = 1,
+    nprobe: int = 1,
+):
+    """Arrow kernel: nearest-``nprobe`` GLOBAL level-2 cells via a two-level
+    scan — ``nprobe_l1`` nearest level-1 cells first, then only their
+    level-2 centers are scored. Per-vector work is O(l1_cells +
+    nprobe_l1 * n_cells / l1_cells) ~ O(sqrt(n_cells)) instead of the flat
+    kernel's O(n_cells) — the growth step the :func:`ivf_n_cells` cap
+    documents. Rows in a batch are grouped by their probed-l1 signature so
+    clustered data vectorizes into one matmul per group (worst case:
+    per-row, still bounded). Deterministic: stable argsorts, ties to the
+    lowest cell id.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    l1 = l1_centers / np.maximum(
+        np.linalg.norm(l1_centers, axis=1, keepdims=True), 1e-12
+    )
+    l2 = l2_centers.astype(np.float64)
+    l2n = np.maximum(np.sqrt((l2 * l2).sum(axis=1)), 1e-12)
+    owner = np.asarray(l2_to_l1, dtype=np.int64)
+    p1 = min(nprobe_l1, l1.shape[0])
+    # member lists per l1 cell, precomputed once in the closure
+    members = [np.where(owner == j)[0] for j in range(l1.shape[0])]
+
+    @pandas_udf("array<int>")
+    def assign(vecs):
+        mtx = np.stack(vecs.to_numpy()).astype(np.float64)
+        vn = np.maximum(np.sqrt((mtx * mtx).sum(axis=1)), 1e-12)
+        l1_sims = (mtx @ l1.T) / vn[:, None]
+        probes = np.argsort(-l1_sims, axis=1, kind="stable")[:, :p1]
+        out: list[np.ndarray] = [None] * mtx.shape[0]
+        groups: dict[tuple, list[int]] = {}
+        for i in range(mtx.shape[0]):
+            groups.setdefault(tuple(probes[i]), []).append(i)
+        for sig, idxs in groups.items():
+            cand = np.concatenate([members[j] for j in sig]) if sig else np.empty(0, int)
+            if cand.size == 0:
+                for i in idxs:
+                    out[i] = np.empty(0, dtype=np.int32)
+                continue
+            cand = np.sort(cand)
+            rows = np.asarray(idxs)
+            sims = (mtx[rows] @ l2[cand].T) / (vn[rows, None] * l2n[cand][None, :])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, : min(nprobe, cand.size)]
+            for r, i in enumerate(rows):
+                out[i] = cand[order[r]].astype(np.int32)
+        return pd.Series(out)
+
+    return assign.asNondeterministic()  # single evaluation (see signlsh_bucket_udf)
+
+
+def ann_ivf2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int | None = None,
+    l1_cells: int | None = None,
+    nprobe_l1: int = 4,
+    nprobe: int = 8,
+    id_q: str = "query_id",
+    id_c: str = "vec_id",
+    vec: str = "embedding",
+    max_collect_cells: int = 65_536,
+) -> DataFrame:
+    """Two-level IVF (IVF-in-IVF) — the documented growth path past the
+    flat quantizer's 4096-cell cap.
+
+    Level-2 centers: ``n_cells`` (default ``isqrt(n)``, UNCAPPED — the cap
+    existed to bound the flat kernel's per-vector scan, which the two-level
+    scan replaces) seeded LCG exemplars. Level-1 centers: seeded spherical
+    k-means (driver-side numpy — the input is just the level-2 center
+    array) over those centers with ``l1_cells = max(4, isqrt(n_cells))``
+    cells; each level-2 center belongs to its nearest level-1 cell.
+    Assignment and probing both pay O(sqrt(n_cells)) per vector.
+
+    Candidate join and exact re-rank are identical to :func:`ann_ivf_topk`
+    — only the cell-id kernel changes, so the 100-TB plan shape (narrow int
+    column, broadcast probe side, windowed top-k) is preserved.
+    ``max_collect_cells`` bounds the driver collect of level-2 centers
+    (65536 x dim=64 doubles = 32 MB); past it the center table itself must
+    stay distributed (level-2 assignment becomes a join + per-l1-group
+    applyInPandas) — raised explicitly rather than collected blindly.
+    """
+    if n_cells is None:
+        n = corpus.count()
+        import math
+
+        n_cells = max(16, math.isqrt(max(1, n)))
+    if n_cells > max_collect_cells:
+        raise ValueError(
+            f"n_cells={n_cells} > max_collect_cells={max_collect_cells}: "
+            "keep the level-2 center table distributed at this scale "
+            "(join + per-l1-group applyInPandas) instead of collecting it"
+        )
+    import math
+
+    if l1_cells is None:
+        l1_cells = max(4, math.isqrt(n_cells))
+    l2 = _ivf_exemplars(corpus, n_cells, id_c, vec)
+    l2u = l2 / np.maximum(np.linalg.norm(l2, axis=1, keepdims=True), 1e-12)
+    # level-1 = spherical k-means over the level-2 centers (pure numpy on a
+    # (n_cells, dim) array; init = first l1_cells by the same LCG order)
+    c1 = l2u[:l1_cells].copy()
+    for _ in range(8):
+        assign = np.argmax(l2u @ c1.T, axis=1)
+        nxt = c1.copy()
+        for j in np.unique(assign):
+            mean = l2u[assign == j].mean(axis=0)
+            norm = np.linalg.norm(mean)
+            if norm > 1e-12:
+                nxt[j] = mean / norm
+        c1 = nxt
+    l2_to_l1 = np.argmax(l2u @ c1.T, axis=1)
+
     cos = _cosine_pandas_udf()
-    assign1 = ivf_assign_udf(centers, nprobe=1)
-    assignp = ivf_assign_udf(centers, nprobe=nprobe)
+    assign1 = ivf2_assign_udf(c1, l2, l2_to_l1, nprobe_l1=1, nprobe=1)
+    assignp = ivf2_assign_udf(c1, l2, l2_to_l1, nprobe_l1=nprobe_l1, nprobe=nprobe)
 
     c = corpus.select(
         F.col(id_c).alias("neighbor_id"),

@@ -913,7 +913,7 @@ class IncrementalNearDedup(IncrementalDedup):
                 )
                 mh_pairs = involving(lsh.candidate_pairs(mh_keys, self.cfg))
                 contain_cand = cont.containment_candidates_scoped(
-                    state, scope, self.cfg
+                    state, texts, scope, self.cfg
                 )
                 sim_keys = lsh.simhash_band_keys(state, self.cfg).join(
                     lsh.simhash_band_keys(new_state, self.cfg)

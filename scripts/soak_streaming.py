@@ -24,7 +24,16 @@ be 1.0, the reference's rerun-merges-everything semantics. All three
 numbers go into BENCH/BASELINE.md so the tradeoff is quantified, not
 hand-waved.
 
+``--periodic-deep`` (round-5): instead of one deep pass at the end, run
+``compact(deep=True)`` after EVERY batch — the first is the full base-case
+pass, the rest are watermark-scoped incremental passes. The report records
+each pass's wall so the O(new docs) claim is measured, then forces a FULL
+deep pass on the final state: it must find 0 extra merges (the incremental
+cadence already converged) and its wall is the number the incremental
+passes are a fraction of.
+
 Usage: python scripts/soak_streaming.py [--pages 30000] [--batches 6]
+       python scripts/soak_streaming.py --periodic-deep
 """
 
 from __future__ import annotations
@@ -55,6 +64,7 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=30_000)
     ap.add_argument("--batches", type=int, default=6)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--periodic-deep", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(
@@ -70,11 +80,18 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
+    deep_pass_walls: list[float] = []
+    deep_pass_scopes: list[str] = []
     for b in range(args.batches):
         batch = pipeline_input(
             pages.filter(F.pmod(F.xxhash64("url"), F.lit(args.batches)) == b)
         )
         inc.process_batch(batch, b)
+        if args.periodic_deep:
+            tb = time.monotonic()
+            dm_b = inc.compact(deep=True)
+            deep_pass_walls.append(round(time.monotonic() - tb, 1))
+            deep_pass_scopes.append(dm_b["deep_scope"])
     wall = time.monotonic() - t0
 
     # every page maps through its content digest to its admitted
@@ -125,7 +142,10 @@ def main() -> None:
     _, recall_post, false_post = score(inc.clusters())
 
     t2 = time.monotonic()
-    dm = inc.compact(deep=True)
+    # with --periodic-deep the final pass is FORCED FULL: its extra merges
+    # must be 0 (incremental cadence already converged) and its wall is the
+    # denominator for the per-pass incremental fractions
+    dm = inc.compact(deep=True, full_deep=args.periodic_deep)
     deep_wall = time.monotonic() - t2
     _, recall_deep, false_deep = score(inc.clusters())
 
@@ -147,6 +167,10 @@ def main() -> None:
         "recall_post_deep": round(recall_deep, 4),
         "false_merges_post_deep": false_deep,
     }
+    if args.periodic_deep:
+        report["periodic_deep_walls_sec"] = deep_pass_walls
+        report["periodic_deep_scopes"] = deep_pass_scopes
+        report["final_full_deep_extra_merged"] = dm["merged"]
     print("STREAMSOAK " + json.dumps(report), flush=True)
 
     md = os.path.join(
@@ -172,6 +196,14 @@ def main() -> None:
             f"**{report['recall_post_deep']}**, false merges **{false_deep}** "
             f"(the reference's rerun-merges-everything semantics, in full)\n"
         )
+        if args.periodic_deep:
+            f.write(
+                f"- periodic incremental deep passes (one per batch, scopes "
+                f"{deep_pass_scopes}): walls {deep_pass_walls} s; the final "
+                f"FORCED-FULL pass above took {report['deep_compact_wall_sec']} s "
+                f"and found {dm['merged']} extra merges — the incremental "
+                f"cadence had already converged\n"
+            )
     print("DONE", flush=True)
 
 

@@ -313,3 +313,77 @@ def test_guarded_sql_isqrt_matches_math_isqrt():
     )
     con.close()
     assert got == {n: math.isqrt(n) for n in ns}
+
+
+def _planted_cluster_corpus(spark):
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 48, 40, 16
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.repeat(cents, per, axis=0) + 0.12 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = df.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return df, queries
+
+
+def _recall_at_k(res, truth):
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+        len(t) for t in truth.values()
+    )
+
+
+def test_ivf_kmeans_refinement_beats_flat_exemplars_on_clusters(spark):
+    """Round-5 verdict #4: on clustered data, flat LCG-exemplar centers
+    split clusters across cells (several exemplars land inside one cluster)
+    and nprobe=1 loses the split-off neighbors; the seeded spherical
+    k-means refinement realigns centers to the modes. Deterministic seeds
+    throughout — measured gap pinned here (0.905 vs 0.985 at authoring)."""
+    from infoscience_imports_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    df, queries = _planted_cluster_corpus(spark)
+    k = 3
+    truth = {}
+    for r in cosine_topk(queries, df, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    flat = _recall_at_k(
+        ann_ivf_topk(queries, df, k=k, n_cells=48, nprobe=1), truth
+    )
+    km = _recall_at_k(
+        ann_ivf_topk(queries, df, k=k, n_cells=48, nprobe=1, kmeans_iters=8), truth
+    )
+    assert flat <= 0.95, flat          # exemplars demonstrably underperform here
+    assert km >= 0.97, km              # refinement recovers the loss
+    assert km > flat
+    df.unpersist()
+
+
+def test_ann_ivf2_two_level_recall_and_collect_guard(spark):
+    """The two-level quantizer (growth path past the flat 4096-cell cap)
+    must hold recall on planted clusters at O(sqrt(n_cells)) per-vector
+    scan cost, and refuse to collect a center table past its bound."""
+    from infoscience_imports_spark.operators.similarity import ann_ivf2_topk, cosine_topk
+
+    df, queries = _planted_cluster_corpus(spark)
+    k = 3
+    truth = {}
+    for r in cosine_topk(queries, df, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    two = _recall_at_k(
+        ann_ivf2_topk(queries, df, k=k, n_cells=48, l1_cells=7, nprobe_l1=3, nprobe=3),
+        truth,
+    )
+    assert two >= 0.9, two
+    with pytest.raises(ValueError, match="distributed"):
+        ann_ivf2_topk(queries, df, n_cells=100, max_collect_cells=64)
+    df.unpersist()
