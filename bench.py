@@ -24,6 +24,14 @@ If none is, it still emits — the min-total pass, with ``window_clean:
 false`` and every attempt's forensics in the JSON — so the artifact
 carries its own admissibility verdict instead of needing a ledger
 footnote.
+
+Contention-immune fingerprints (round-4 verdict #1): the first execution
+of every headline query (and the pipeline) runs under a job group; after
+the timed passes the event log is parsed into per-query shuffle/input/
+spill bytes + task counts + executor CPU (``fingerprints`` in the JSON,
+``shuffle_mb_total`` as the headline). Bytes moved are plan properties —
+the cross-round no-regression signal stays valid even when the host never
+opens a clean wall-clock window.
 """
 
 from __future__ import annotations
@@ -80,10 +88,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # event log on: the timed pass doubles as a RESOURCE-FINGERPRINT pass
+    # (round-4 verdict #1) — bytes a plan shuffles/scans are plan
+    # properties, immune to the host contention that makes wall-clock here
+    # need an admissibility verdict. Parsed after spark.stop() below.
+    evdir = tempfile.mkdtemp(prefix="bench-evlog-")
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 8),
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+        },
     )
     # warmup: absorb JVM/codegen/Arrow/JIT startup so timings measure the
     # engine steady state (first execution of a codegen'd regex/window shape
@@ -120,6 +138,7 @@ def main() -> None:
     probe_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "10"))
     probe_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_SLEEP", "45"))
     run_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RUN_RETRIES", "3"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "120"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     # Materialize the webdedup corpus once, outside every timed pass —
@@ -137,13 +156,22 @@ def main() -> None:
         # sporadic multi-second stalls land on random queries — single-shot
         # timings recorded 62 s for a query that times 4 s on the next run.
         steal0 = _host_steal_ticks()
+        sc = spark.sparkContext
         timings: dict[str, float] = {}
         for name in HEADLINE:
             best = float("inf")
-            for _ in range(max(1, repeats)):
+            for rep in range(max(1, repeats)):
+                # the FIRST execution of each query (pass 0, rep 0) runs
+                # under a job group so the post-run event-log parse can
+                # attribute its task metrics — one execution is enough, the
+                # bytes are a plan property (identical across reps)
+                if pass_idx == 0 and rep == 0:
+                    sc.setJobGroup(f"fp:{name}", f"fingerprint {name}")
                 t0 = time.monotonic()
                 run_noop(qs[name](spark, sf_dir))
                 best = min(best, time.monotonic() - t0)
+                if pass_idx == 0 and rep == 0:
+                    sc.setJobGroup("", "")
             timings[name] = round(best, 3)
             # queries that cache helper frames register them for release; a
             # long-lived session running the whole suite must not accumulate
@@ -158,9 +186,13 @@ def main() -> None:
                 cfg,
                 input_fingerprint=f"bench{WEBDEDUP_PAGES}-{pass_idx}-{attempt}",
             )
+            if pass_idx == 0 and attempt == 0:
+                sc.setJobGroup("fp:webdedup_pipeline_20k", "fingerprint pipeline")
             t0 = time.monotonic()
             pipe.run(pages, resume=False)
             wall = min(wall, time.monotonic() - t0)
+            if pass_idx == 0 and attempt == 0:
+                sc.setJobGroup("", "")
             shutil.rmtree(wh, ignore_errors=True)
         timings["webdedup_pipeline_20k"] = round(wall, 3)
         return {
@@ -201,9 +233,39 @@ def main() -> None:
             f"{'retrying' if pass_idx + 1 < run_retries else 'out of retries'}",
             file=sys.stderr,
         )
+        if pass_idx + 1 < run_retries and retry_sleep > 0:
+            # spread retries across the session instead of back-to-back:
+            # contended regimes here persist for tens of minutes (round-4:
+            # 3 adjacent passes all landed in the same dirty window)
+            time.sleep(retry_sleep)
     if chosen is None:
         chosen = min(attempts, key=lambda a: a["total"])
     shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    # contention-immune fingerprints: stop the session (flushes the event
+    # log), then attribute each fp:<name> job group's task metrics. These
+    # numbers — not wall-clock — are the cross-round no-regression signal
+    # when window_clean is false.
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    try:
+        fingerprints = _parse_fingerprints(evdir, app_id)
+    except Exception as exc:  # fingerprints are additive — never fail the bench
+        print(f"[bench] fingerprint parse failed: {exc}", file=sys.stderr)
+        fingerprints = None
+    shutil.rmtree(evdir, ignore_errors=True)
+    shuffle_mb_total = (
+        round(
+            sum(
+                f["shuffle_write_bytes"] + f["shuffle_read_bytes"]
+                for f in fingerprints.values()
+            )
+            / 1e6,
+            1,
+        )
+        if fingerprints
+        else None
+    )
 
     print(
         json.dumps(
@@ -230,6 +292,13 @@ def main() -> None:
                 "cpu_parallel_efficiency": chosen["exit_probe"],
                 "window_clean": chosen["clean"],
                 "min_eff_gate": min_eff,
+                # per-query resource fingerprints (bytes/tasks from ONE
+                # execution each — plan properties, valid in ANY window;
+                # executor_cpu_sec is near-invariant but can inflate on
+                # first-touch page faults, see BENCH/BASELINE.md round-4
+                # addendum — compare min-across-rounds, not single values)
+                "fingerprints": fingerprints,
+                "shuffle_mb_total": shuffle_mb_total,
                 "passes": [
                     {
                         "total": a["total"],
@@ -243,6 +312,64 @@ def main() -> None:
             }
         )
     )
+
+
+def _parse_fingerprints(evdir: str, app_id: str) -> dict[str, dict]:
+    """Per-``fp:<name>`` job-group task-metric totals from the event log —
+    the same harvest as scripts/resource_profile.py, keyed by query.
+    ``input_bytes`` under-counts Arrow-kernel local-FS scans (documented
+    there); the fingerprint columns are the SHUFFLE bytes + task count."""
+    import glob as _glob2
+
+    logs = sorted(
+        _glob2.glob(os.path.join(evdir, f"eventlog_v2_{app_id}", "events_*"))
+    ) or sorted(_glob2.glob(os.path.join(evdir, f"{app_id}*")))
+    if not logs:
+        raise FileNotFoundError(f"no event log for {app_id} in {evdir}")
+    stage_group: dict[int, str] = {}
+    totals: dict[str, dict] = {}
+    for lg in logs:
+        with open(lg) as f:
+            for line in f:
+                ev = json.loads(line)
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get("spark.jobGroup.id", "")
+                    if group.startswith("fp:"):
+                        for sid in ev.get("Stage IDs", []):
+                            stage_group[sid] = group[3:]
+                elif kind == "SparkListenerTaskEnd":
+                    name = stage_group.get(ev.get("Stage ID"))
+                    if name is None:
+                        continue
+                    m = ev.get("Task Metrics") or {}
+                    t = totals.setdefault(
+                        name,
+                        {
+                            "input_bytes": 0,
+                            "shuffle_write_bytes": 0,
+                            "shuffle_read_bytes": 0,
+                            "spill_disk_bytes": 0,
+                            "executor_cpu_sec": 0.0,
+                            "tasks": 0,
+                        },
+                    )
+                    t["tasks"] += 1
+                    t["input_bytes"] += (m.get("Input Metrics") or {}).get(
+                        "Bytes Read", 0
+                    )
+                    t["shuffle_write_bytes"] += (
+                        m.get("Shuffle Write Metrics") or {}
+                    ).get("Shuffle Bytes Written", 0)
+                    srm = m.get("Shuffle Read Metrics") or {}
+                    t["shuffle_read_bytes"] += srm.get("Local Bytes Read", 0) + srm.get(
+                        "Remote Bytes Read", 0
+                    )
+                    t["spill_disk_bytes"] += m.get("Disk Bytes Spilled", 0)
+                    t["executor_cpu_sec"] += m.get("Executor CPU Time", 0) / 1e9
+    for t in totals.values():
+        t["executor_cpu_sec"] = round(t["executor_cpu_sec"], 2)
+    return totals
 
 
 def _host_steal_ticks() -> int:
