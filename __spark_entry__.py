@@ -479,6 +479,23 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(queries, emb, k=3, nprobe=4)
 
 
+def q_ann_ivf2(spark, sf_dir):
+    """Two-level IVF ANN (growth path past the flat 4096-cell cap,
+    operators/similarity.py ann_ivf2_topk): level-1 = seeded spherical
+    k-means over the level-2 LCG exemplars, O(sqrt(n_cells)) per-vector
+    scan. No oracle_sql twin: the driver-side k-means is deterministic but
+    not SQL-expressible — the driver records the weaker rows-only check;
+    recall and the collect guard are pinned by pytest
+    (tests/test_similarity.py)."""
+    from infoscience_imports_spark.operators.similarity import ann_ivf2_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf2_topk(queries, emb, k=3, l1_cells=8, nprobe_l1=4, nprobe=8)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Sub-quadratic near-dup path: sign-LSH band candidates + exact re-rank.
 
@@ -906,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_signlsh": q_ann_signlsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf2": q_ann_ivf2,
         "group_merge_docs": q_group_merge_docs,
         "doc_rollup": q_doc_rollup,
         "q1_pricing_summary": q1_pricing_summary,
