@@ -139,7 +139,13 @@ def cmd_compact(args: argparse.Namespace) -> int:
     # re-derives dpart with it, and later micro-batches partition-prune
     # their known-docs reads by the same function
     inc = IncrementalNearDedup(spark, args.state, cfg, n_state_buckets=args.state_buckets)
-    print(json.dumps(inc.compact(deep=args.deep, full_deep=args.full_deep)))
+    print(
+        json.dumps(
+            inc.compact(
+                deep=args.deep, full_deep=args.full_deep, full_cc=args.full_cc
+            )
+        )
+    )
     return 0
 
 
@@ -236,6 +242,12 @@ def main(argv: list[str] | None = None) -> int:
         "--full-deep",
         action="store_true",
         help="force a FULL deep pass (ignore the batch_id watermark)",
+    )
+    p_cmp.add_argument(
+        "--full-cc",
+        action="store_true",
+        help="force a FULL connected-components rebuild over the whole edge "
+        "history (ignore the edge-epoch watermark; base-case / audit path)",
     )
     p_cmp.add_argument(
         "--state-buckets",

@@ -26,6 +26,7 @@ min/max data skipping on a digest-sorted table.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -504,7 +505,13 @@ class IncrementalNearDedup(IncrementalDedup):
                         F.col("doc_id").alias("id1"), F.col("old_id").alias("id2")
                     )
                 )
-            edges_out = edges_out.withColumn("batch_id", F.lit(batch_id))
+            # epoch marks the rows as not-yet-reflected in cluster state —
+            # the scoped compact CC reads only epoch > cc_edge_epoch (a
+            # data column, constant per file, so parquet footer stats skip
+            # every already-reflected file without partition-layout games)
+            edges_out = edges_out.withColumn("batch_id", F.lit(batch_id)).withColumn(
+                "epoch", F.lit(self._edge_epoch())
+            )
 
             # eager lineage cuts: these plans read the state dirs they
             # are about to be appended to
@@ -551,7 +558,11 @@ class IncrementalNearDedup(IncrementalDedup):
             and (batch_id + 1) % self.compact_every == 0
         )
         if deep_due or shallow_due:
-            self.last_compact_metrics = self.compact(deep=deep_due)
+            # count_clusters=False: the cadence path must not pay a global
+            # distinct-count per pass just for a metric; merged stays exact
+            self.last_compact_metrics = self.compact(
+                deep=deep_due, count_clusters=False
+            )
 
     def clusters(self) -> DataFrame:
         self._recover_cluster_swap()
@@ -583,28 +594,52 @@ class IncrementalNearDedup(IncrementalDedup):
     def _compact_meta_path(self) -> str:
         return os.path.join(self.state_dir, "_compact_meta.json")
 
-    def _read_deep_watermark(self) -> int | None:
-        """Highest batch_id a completed deep pass has covered, or None if no
-        deep pass ever ran (→ the next deep pass must be full)."""
+    def _read_meta(self) -> dict:
         import json
 
         try:
             with open(self._compact_meta_path) as f:
-                v = json.load(f).get("deep_batch_watermark")
-            return int(v) if v is not None else None
+                m = json.load(f)
+            return m if isinstance(m, dict) else {}
         except (OSError, ValueError):
-            return None
+            return {}
 
-    def _write_deep_watermark(self, wm: int) -> None:
-        """Atomic (tmp + rename) so a crash never leaves a torn marker; a
-        crash BEFORE the write just re-covers a few batches next pass —
-        deep generation is idempotent against the edge-state anti-join."""
+    def _update_meta(self, **kv) -> None:
+        """Read-modify-write of the compact meta file, atomic (tmp +
+        rename) so a crash never leaves a torn marker; a crash BEFORE the
+        write just re-covers a few batches/edges next pass — both deep
+        generation (edge-state anti-join) and the scoped CC (relabel to the
+        same component minima) are idempotent."""
         import json
 
+        m = self._read_meta()
+        m.update(kv)
         tmp = self._compact_meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"deep_batch_watermark": wm}, f)
+            json.dump(m, f)
         os.replace(tmp, self._compact_meta_path)
+
+    def _read_deep_watermark(self) -> int | None:
+        """Highest batch_id a completed deep pass has covered, or None if no
+        deep pass ever ran (→ the next deep pass must be full)."""
+        v = self._read_meta().get("deep_batch_watermark")
+        return int(v) if v is not None else None
+
+    def _write_deep_watermark(self, wm: int) -> None:
+        self._update_meta(deep_batch_watermark=int(wm))
+
+    def _cc_epoch(self) -> int | None:
+        """Highest edge epoch whose rows are REFLECTED in cluster state (a
+        completed compact CC'd over them), or None if no compact under
+        epoch-stamped state ever completed (→ the next CC must be full)."""
+        v = self._read_meta().get("cc_edge_epoch")
+        return int(v) if v is not None else None
+
+    def _edge_epoch(self) -> int:
+        """Epoch stamped on edge appends: one past the reflected epoch, so
+        a compact selects exactly the rows no previous compact has CC'd
+        (``epoch > cc_edge_epoch``) as a footer-stat-skipped pruned scan."""
+        return (self._cc_epoch() or 0) + 1
 
     def _deep_scope(self, full: bool):
         """(scope_docs, next_watermark): the doc_ids admitted since the last
@@ -626,7 +661,13 @@ class IncrementalNearDedup(IncrementalDedup):
         )
         return scope, nxt
 
-    def compact(self, deep: bool = False, full_deep: bool = False) -> dict:
+    def compact(
+        self,
+        deep: bool = False,
+        full_deep: bool = False,
+        count_clusters: bool = True,
+        full_cc: bool = False,
+    ) -> dict:
         """Retro-merge compaction: batch CC over the accumulated verified
         edges, rewriting every cluster id to its component minimum.
 
@@ -664,24 +705,47 @@ class IncrementalNearDedup(IncrementalDedup):
         edges land in permanent edge state either way, so a later shallow
         pass preserves them.
 
+        The CC + rewrite are ALSO incremental (round 5), by an edge EPOCH
+        watermark: appends stamp rows with ``epoch = cc_edge_epoch + 1``; a
+        compact CCs only edges with ``epoch > cc_edge_epoch`` (a pruned,
+        footer-stat-skipped scan) unioned with prior-assignment stars of the
+        clusters those edges touch, relabels only the affected members, and
+        rewrites only the state partitions holding a changed doc (untouched
+        partition dirs are hardlinked into the swap tmp). Invariant: after a
+        completed compact, the assignment equals CC(edges with epoch ≤
+        cc_edge_epoch ∪ pre-edge-state merges); components without a new
+        edge therefore cannot change, and the scoped labels equal a full
+        CC's (the full component containing a new edge is exactly the union
+        of the affected old clusters). ``full_cc=True`` forces the full
+        rebuild (base case; also what a legacy state dir gets on its first
+        compact). ``count_clusters=False`` skips the global distinct-count
+        metric (``clusters_before/after`` become None; ``merged`` stays
+        exact from the scoped counts) — the auto-cadence path uses this.
+
         Scale shape: edge state is O(verified duplicate pairs) — orders of
         magnitude under the corpus — and the CC is the same salted/gated
-        ``connected_components`` the batch pipeline runs at full scale. The
-        rewrite is a full pass over cluster state (one narrow table), written
-        to a temp dir and swapped in with renames; on an object store run
-        this as an Iceberg REPLACE/overwrite commit instead. Run it with the
-        stream quiesced (between ``availableNow`` triggers): the dir swap
-        races a concurrent micro-batch's pruned cluster reads.
+        ``connected_components`` the batch pipeline runs at full scale, over
+        the epoch-scoped slice. Per recurring pass the cost is O(new edges +
+        affected-cluster members) shuffle work plus one scan of the narrow
+        cluster table (the semi-join pulling members; Iceberg: partition
+        prune on cluster_id ranges would drop even that), NOT O(edge
+        history) or O(corpus) rewrite. The swap stays tmp-dir + renames; on
+        an object store run it as an Iceberg REPLACE/overwrite of the
+        touched partitions instead. Run it with the stream quiesced (between
+        ``availableNow`` triggers): the dir swap races a concurrent
+        micro-batch's pruned cluster reads.
 
         Cluster ids may CHANGE across a compaction (merged components take
         the component-min id) — same contract as the reference's re-run.
-        Idempotent: a second pass with no new edges rewrites nothing.
-        Returns metrics (docs, edges, clusters before/after, merged count).
+        Idempotent: a second pass with no new edges rewrites nothing (and
+        since round 5, proves that with one cheap pruned-scan probe instead
+        of a full CC). Returns metrics (docs, edges, clusters before/after,
+        merged count, cc_mode, touched_parts, stage timings).
         """
         from .. import caching
 
         try:
-            return self._compact_inner(deep, full_deep)
+            return self._compact_inner(deep, full_deep, count_clusters, full_cc)
         finally:
             # Operator-internal persists (candidate-gate broadcasts, bottom-k
             # posting tables) registered via caching.persist_tracked are
@@ -691,7 +755,13 @@ class IncrementalNearDedup(IncrementalDedup):
             # runs after every action here has executed.
             caching.release_all()
 
-    def _compact_inner(self, deep: bool, full_deep: bool = False) -> dict:
+    def _compact_inner(
+        self,
+        deep: bool,
+        full_deep: bool = False,
+        count_clusters: bool = True,
+        full_cc: bool = False,
+    ) -> dict:
         from ..operators.components import connected_components
 
         self._recover_cluster_swap()
@@ -699,20 +769,49 @@ class IncrementalNearDedup(IncrementalDedup):
             return {"docs": 0, "edges": 0, "clusters_before": 0, "clusters_after": 0, "merged": 0}
         clusters = self.spark.read.parquet(self.cluster_dir)
         n_docs = clusters.count()
-        n_before = clusters.select("cluster_id").distinct().count()
-        edge_frames = []
+        cc_epoch = self._cc_epoch()
+        epoch_hi = (cc_epoch or 0) + 1
+        scoped = cc_epoch is not None and not full_cc
+        new_frames: list[DataFrame] = []
         n_edges = 0
         if os.path.isdir(self.edge_dir):
-            stored = self.spark.read.parquet(self.edge_dir).select("id1", "id2")
+            # mergeSchema: a legacy edge dir extended by epoch-stamped
+            # appends holds files with AND without the epoch column; a
+            # single-footer read could infer an epoch-less schema and
+            # silently treat the NEW rows as already reflected. On Iceberg
+            # this is the table-schema read, not a footer merge.
+            stored = self.spark.read.option("mergeSchema", "true").parquet(self.edge_dir)
             n_edges = stored.count()
             if n_edges:
-                edge_frames.append(stored)
+                if scoped and "epoch" in stored.columns:
+                    # epoch is constant per file — footer min/max stats skip
+                    # every already-reflected file (Iceberg: metadata prune)
+                    fresh_stored = stored.filter(F.col("epoch") > F.lit(cc_epoch))
+                elif scoped:
+                    # cc_edge_epoch is set but no append ever wrote an epoch
+                    # column: nothing landed after the pass that set it
+                    fresh_stored = None
+                else:
+                    fresh_stored = stored
+                if fresh_stored is not None:
+                    new_frames.append(fresh_stored.select("id1", "id2"))
         deep_scope = "none"
         next_wm = None
+        deep_gen_s = 0.0
+        scope_n = None
         if deep:
+            t_gen = time.monotonic()
             scope_docs, next_wm = self._deep_scope(full_deep)
             deep_scope = "full" if scope_docs is None else "incremental"
+            if scope_docs is not None:
+                scope_n = scope_docs.count()
             de = self._deep_edges(scope_docs=scope_docs)
+            # _deep_edges returns an eager localCheckpoint, so generation +
+            # verify executed inside this window — the O(new docs) claim is
+            # measured against deep_gen_s, not the compact() total (which
+            # also pays the CC + cluster-rewrite below — itself scoped to
+            # clusters the new edges touch since round 5).
+            deep_gen_s = time.monotonic() - t_gen
             if de is not None:
                 # persist the deep-family discoveries into edge state FIRST:
                 # the edge store must stay the superset of every link any
@@ -739,53 +838,181 @@ class IncrementalNearDedup(IncrementalDedup):
                     )
                 fresh_deep = (
                     fresh_deep.withColumn("batch_id", F.lit(-1))
+                    .withColumn("epoch", F.lit(epoch_hi))
                     .localCheckpoint(eager=True)  # cut lineage off the dir it appends to
                 )
                 fresh_deep.write.mode("append").parquet(self.edge_dir)
-                edge_frames.append(de)
-        if not edge_frames:
-            # deep generation DID run to completion over its scope — advance
-            # the watermark even though nothing needs rewriting
-            if deep and next_wm is not None:
-                self._write_deep_watermark(int(next_wm))
+                new_frames.append(de)
+        new_edges: DataFrame | None = None
+        for f in new_frames:
+            new_edges = f if new_edges is None else new_edges.unionByName(f)
+        if new_edges is not None and scoped and not new_edges.limit(1).count():
+            # the epoch-pruned scan (plus any deep discoveries) is EMPTY —
+            # cheap to prove, and the common case under a compaction cadence
+            new_edges = None
+        if new_edges is None:
+            # generation DID run to completion over its scope — advance both
+            # watermarks even though nothing needs rewriting
+            self._advance_watermarks(deep, next_wm, epoch_hi)
+            n_before = (
+                clusters.select("cluster_id").distinct().count()
+                if count_clusters
+                else None
+            )
             return {
                 "docs": n_docs,
-                "edges": 0,
+                "edges": n_edges,
                 "clusters_before": n_before,
                 "clusters_after": n_before,
                 "merged": 0,
                 "deep_scope": deep_scope,
+                "deep_gen_s": round(deep_gen_s, 3),
+                "scope_docs": scope_n,
+                "cc_mode": "scoped" if scoped else "full",
             }
-        edges = edge_frames[0]
-        for e in edge_frames[1:]:
-            edges = edges.unionByName(e)
+        t_cc = time.monotonic()
+        has_dpart = "dpart" in clusters.columns
+        if scoped:
+            # Scope the CC to the clusters the new edges TOUCH (round-5):
+            # the invariant maintained by _advance_watermarks is that the
+            # cluster assignment equals CC(all edges with epoch <= cc_epoch
+            # ∪ prior merges), so a component with no new edge cannot change
+            # — the full component containing a new edge's endpoint is
+            # exactly the union of the affected old clusters (any old edge
+            # path between clusters was already reflected, i.e. they'd share
+            # a label). Membership is pulled via one scan of the narrow
+            # cluster table (semi-join on the affected labels); everything
+            # O(edge history) is gone from the recurring path.
+            ends = (
+                new_edges.select(F.col("id1").alias("doc_id"))
+                .unionByName(new_edges.select(F.col("id2").alias("doc_id")))
+                .distinct()
+            )
+            base = None
+            if has_dpart:
+                base = self._read_pruned(
+                    self.cluster_dir,
+                    ends.withColumn("dpart", self._part("doc_id")),
+                    "dpart",
+                )
+            if base is None:
+                base = clusters
+            affected = (
+                base.join(ends, on="doc_id", how="left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            scope_members = clusters.join(affected, on="cluster_id", how="left_semi")
+        else:
+            scope_members = clusters
         # Seed the component graph with PRIOR-ASSIGNMENT edges (doc ->
-        # current cluster_id for every non-singleton doc). Without the seed,
-        # a cluster whose merge edge predates edge-state persistence can be
-        # SPLIT by compaction: if one member of old cluster B gains a stored
-        # edge to lower-id doc D, CC relabels that member (and B itself, if
-        # present) to D while old partners absent from edge state keep label
-        # B via the coalesce below — landing in a different cluster than B
-        # (round-5 ADVICE). With every previously-merged doc in the graph,
-        # CC can only preserve or legitimately extend components; the
-        # coalesce then covers only true singletons. Prior links are
-        # O(non-singleton docs) — same order as the edge state itself.
-        prior_links = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-            F.col("doc_id").alias("id1"), F.col("cluster_id").alias("id2")
-        )
-        edges = edges.unionByName(prior_links)
-        assign = connected_components(edges, self.cfg)
+        # current cluster_id for every non-singleton scope member). Without
+        # the seed, a cluster whose merge edge predates edge-state
+        # persistence can be SPLIT by compaction: if one member of old
+        # cluster B gains a stored edge to lower-id doc D, CC relabels that
+        # member (and B itself, if present) to D while old partners absent
+        # from edge state keep label B via the coalesce below — landing in a
+        # different cluster than B (round-5 ADVICE). With every
+        # previously-merged doc in the graph, CC can only preserve or
+        # legitimately extend components — and the scoped-CC labels agree
+        # with a full CC's, because stars put every member of an affected
+        # cluster (including its min) in the component. Prior links are
+        # O(non-singleton scope members).
+        prior_links = scope_members.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias("id1"), F.col("cluster_id").alias("id2"))
+        assign = connected_components(
+            new_edges.unionByName(prior_links), self.cfg
+        ).localCheckpoint(eager=True)  # reused by counts + two rewrite plans
+        from pyspark.storagelevel import StorageLevel
+
         # Docs absent from the CC assignment fall back to their EXISTING
         # cluster_id (for seeded prior members that is never reached; this
         # covers true singletons, whose cluster_id == doc_id).
-        rewritten = (
-            clusters.select("doc_id", F.col("cluster_id").alias("_prior"))
+        relabeled = (
+            scope_members.select("doc_id", F.col("cluster_id").alias("_prior"))
             .join(assign, on="doc_id", how="left")
-            .select("doc_id", F.coalesce("cluster_id", "_prior").alias("cluster_id"))
-            .withColumn("dpart", self._part("doc_id"))
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "_prior").alias("cluster_id"),
+                F.col("_prior").alias("prior_cluster"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        tmp = self.cluster_dir + ".compact-tmp"
-        rewritten.write.mode("overwrite").partitionBy("dpart").parquet(tmp)
+        try:
+            n_scope_before = relabeled.select("prior_cluster").distinct().count()
+            n_scope_after = relabeled.select("cluster_id").distinct().count()
+            merged = n_scope_before - n_scope_after
+            if not scoped:
+                n_before = n_scope_before
+            else:
+                n_before = (
+                    clusters.select("cluster_id").distinct().count()
+                    if count_clusters
+                    else None
+                )
+            if merged == 0:
+                # components only MERGE, so an unchanged distinct count means
+                # every component is a single prior cluster — no label moved
+                # and the rewrite would be byte-identical. Skip it, the swap,
+                # and the dir churn; just advance the watermarks.
+                self._advance_watermarks(deep, next_wm, epoch_hi)
+                return {
+                    "docs": n_docs,
+                    "edges": n_edges,
+                    "clusters_before": n_before,
+                    "clusters_after": n_before,
+                    "merged": 0,
+                    "deep_scope": deep_scope,
+                    "deep_gen_s": round(deep_gen_s, 3),
+                    "scope_docs": scope_n,
+                    "cc_mode": "scoped" if scoped else "full",
+                    "cc_rewrite_s": round(time.monotonic() - t_cc, 3),
+                }
+            tmp = self.cluster_dir + ".compact-tmp"
+            touched_n = None
+            if scoped and has_dpart:
+                # rewrite ONLY the state partitions holding a changed doc;
+                # untouched partition dirs are hardlinked into the swap tmp
+                # (same filesystem by construction). On an object store this
+                # whole tmp+swap is an Iceberg overwrite of the touched
+                # partitions — the passthrough is free there.
+                changed = relabeled.filter(
+                    F.col("cluster_id") != F.col("prior_cluster")
+                )
+                touched = sorted(
+                    r[0]
+                    for r in changed.select(self._part("doc_id").alias("dpart"))
+                    .distinct()
+                    .collect()
+                )
+                touched_n = len(touched)
+                rows = (
+                    clusters.filter(F.col("dpart").isin(touched))
+                    .select("doc_id", F.col("cluster_id").alias("_prior"), "dpart")
+                    .join(assign, on="doc_id", how="left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("cluster_id", "_prior").alias("cluster_id"),
+                        "dpart",
+                    )
+                )
+                rows.write.mode("overwrite").partitionBy("dpart").parquet(tmp)
+                self._link_untouched_parts(
+                    self.cluster_dir, tmp, {f"dpart={t}" for t in touched}
+                )
+            else:
+                rewritten = (
+                    clusters.select("doc_id", F.col("cluster_id").alias("_prior"))
+                    .join(assign, on="doc_id", how="left")
+                    .select(
+                        "doc_id", F.coalesce("cluster_id", "_prior").alias("cluster_id")
+                    )
+                    .withColumn("dpart", self._part("doc_id"))
+                )
+                rewritten.write.mode("overwrite").partitionBy("dpart").parquet(tmp)
+        finally:
+            relabeled.unpersist()
         old = self.cluster_dir + ".pre-compact"
         os.rename(self.cluster_dir, old)
         os.rename(tmp, self.cluster_dir)
@@ -793,19 +1020,51 @@ class IncrementalNearDedup(IncrementalDedup):
 
         shutil.rmtree(old)
         self.spark.catalog.refreshByPath(self.cluster_dir)
-        n_after = self.clusters().select("cluster_id").distinct().count()
-        # watermark advances only after the swap lands: a crash mid-swap
-        # re-covers this scope next pass (idempotent via the edge anti-join)
-        if deep and next_wm is not None:
-            self._write_deep_watermark(int(next_wm))
+        # watermarks advance only after the swap lands: a crash mid-swap
+        # re-covers this scope next pass (idempotent via the edge anti-join
+        # and the relabel-to-same-minima CC)
+        self._advance_watermarks(deep, next_wm, epoch_hi)
+        n_after = (n_before - merged) if n_before is not None else None
         return {
             "docs": n_docs,
             "edges": n_edges,
             "clusters_before": n_before,
             "clusters_after": n_after,
-            "merged": n_before - n_after,
+            "merged": merged,
             "deep_scope": deep_scope,
+            "deep_gen_s": round(deep_gen_s, 3),
+            "scope_docs": scope_n,
+            "cc_mode": "scoped" if scoped else "full",
+            "touched_parts": touched_n,
+            "cc_rewrite_s": round(time.monotonic() - t_cc, 3),
         }
+
+    def _advance_watermarks(self, deep: bool, next_wm, epoch_hi: int) -> None:
+        kv = {"cc_edge_epoch": int(epoch_hi)}
+        if deep and next_wm is not None:
+            kv["deep_batch_watermark"] = int(next_wm)
+        self._update_meta(**kv)
+
+    @staticmethod
+    def _link_untouched_parts(src: str, dst: str, touched: set[str]) -> None:
+        """Hardlink every ``dpart=`` partition dir of ``src`` not in
+        ``touched`` into ``dst``: the scoped rewrite then costs O(changed
+        partitions) Spark work + O(#files) metadata instead of a full-table
+        rewrite, while the crash-safe tmp-dir/rename swap contract is
+        unchanged (links are created before either rename; appends only ever
+        ADD files, so aliased inodes are never mutated)."""
+        for name in os.listdir(src):
+            if not name.startswith("dpart=") or name in touched:
+                continue
+            sdir = os.path.join(src, name)
+            if not os.path.isdir(sdir):
+                continue
+            ddir = os.path.join(dst, name)
+            os.makedirs(ddir, exist_ok=True)
+            for fn in os.listdir(sdir):
+                sp = os.path.join(sdir, fn)
+                if os.path.isfile(sp):
+                    os.link(sp, os.path.join(ddir, fn))
 
     def _deep_edges(self, scope_docs: DataFrame | None = None):
         """The batch pipeline's edges stage, re-run over doc state.

@@ -82,6 +82,9 @@ def main() -> None:
     t0 = time.monotonic()
     deep_pass_walls: list[float] = []
     deep_pass_scopes: list[str] = []
+    deep_pass_gen: list[float] = []
+    deep_pass_scope_docs: list[int | None] = []
+    deep_pass_cc: list[float | None] = []
     for b in range(args.batches):
         batch = pipeline_input(
             pages.filter(F.pmod(F.xxhash64("url"), F.lit(args.batches)) == b)
@@ -89,9 +92,15 @@ def main() -> None:
         inc.process_batch(batch, b)
         if args.periodic_deep:
             tb = time.monotonic()
-            dm_b = inc.compact(deep=True)
+            # count_clusters=False: the cadence path's cost claim is
+            # O(new docs + affected clusters) — don't pay a global
+            # distinct-count per pass for a report nicety
+            dm_b = inc.compact(deep=True, count_clusters=False)
             deep_pass_walls.append(round(time.monotonic() - tb, 1))
             deep_pass_scopes.append(dm_b["deep_scope"])
+            deep_pass_gen.append(dm_b.get("deep_gen_s", 0.0))
+            deep_pass_scope_docs.append(dm_b.get("scope_docs"))
+            deep_pass_cc.append(dm_b.get("cc_rewrite_s"))
     wall = time.monotonic() - t0
 
     # every page maps through its content digest to its admitted
@@ -170,6 +179,10 @@ def main() -> None:
     if args.periodic_deep:
         report["periodic_deep_walls_sec"] = deep_pass_walls
         report["periodic_deep_scopes"] = deep_pass_scopes
+        report["periodic_deep_gen_sec"] = deep_pass_gen
+        report["periodic_deep_scope_docs"] = deep_pass_scope_docs
+        report["periodic_deep_cc_rewrite_sec"] = deep_pass_cc
+        report["final_full_deep_gen_sec"] = dm.get("deep_gen_s")
         report["final_full_deep_extra_merged"] = dm["merged"]
     print("STREAMSOAK " + json.dumps(report), flush=True)
 
@@ -199,10 +212,15 @@ def main() -> None:
         if args.periodic_deep:
             f.write(
                 f"- periodic incremental deep passes (one per batch, scopes "
-                f"{deep_pass_scopes}): walls {deep_pass_walls} s; the final "
-                f"FORCED-FULL pass above took {report['deep_compact_wall_sec']} s "
-                f"and found {dm['merged']} extra merges — the incremental "
-                f"cadence had already converged\n"
+                f"{deep_pass_scopes}): walls {deep_pass_walls} s, of which "
+                f"candidate-gen+verify (the watermark-scoped part) "
+                f"{deep_pass_gen} s over scope sizes {deep_pass_scope_docs} "
+                f"docs, CC+rewrite {deep_pass_cc} s (epoch-scoped since "
+                f"round 5 — O(new edges + affected clusters), a converged "
+                f"pass skips the rewrite entirely); the final FORCED-FULL "
+                f"pass above took {report['deep_compact_wall_sec']} s (gen "
+                f"{dm.get('deep_gen_s')} s) and found {dm['merged']} extra "
+                f"merges — the incremental cadence had already converged\n"
             )
     print("DONE", flush=True)
 

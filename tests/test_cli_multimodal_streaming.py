@@ -816,3 +816,126 @@ def test_cli_stream_subcommand_auto_compacts(spark, tmp_path):
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["docs"] == 2 and payload["clusters"] == 1, payload
     assert payload["last_compact"]["merged"] >= 0
+
+
+def _inode_map(d):
+    out = {}
+    for root, _, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, d)] = os.stat(p).st_ino
+    return out
+
+
+def test_compact_scoped_cc_matches_full_rebuild(spark):
+    """Round-5: after a completed compact sets the edge-epoch watermark,
+    later compacts CC only the new-epoch edges plus prior-assignment stars
+    of the clusters those edges touch. The scoped relabel must agree exactly
+    with a forced full rebuild over the whole edge history — including a
+    bridge into a pre-existing multi-member cluster — and must leave
+    unrelated clusters untouched."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="scoped-cc-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 3), (5, 5), (6, 6)],
+        "doc_id long, cluster_id long",
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(inc.cluster_dir)
+    # epoch-less legacy edge: the first compact runs FULL (base case) and
+    # sets the epoch watermark
+    spark.createDataFrame([(1, 2, 0)], "id1 long, id2 long, batch_id int").write.parquet(inc.edge_dir)
+    m0 = inc.compact()
+    assert m0["cc_mode"] == "full" and m0["merged"] == 1, m0
+    assert inc._cc_epoch() == 1
+
+    # batch-style append at the next epoch: 2-5 bridges cluster {1,2} with
+    # {5}; clusters {3,4} and {6} are untouched
+    ep = inc._edge_epoch()
+    assert ep == 2
+    spark.createDataFrame(
+        [(2, 5, 1, ep)], "id1 long, id2 long, batch_id int, epoch int"
+    ).write.mode("append").parquet(inc.edge_dir)
+    m1 = inc.compact()
+    assert m1["cc_mode"] == "scoped" and m1["merged"] == 1, m1
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl == {1: 1, 2: 1, 3: 3, 4: 3, 5: 1, 6: 6}, cl
+    assert inc._cc_epoch() == 2
+
+    # forced full rebuild agrees and proves convergence (merged == 0)
+    m2 = inc.compact(full_cc=True)
+    assert m2["cc_mode"] == "full" and m2["merged"] == 0, m2
+    assert {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()} == cl
+    shutil.rmtree(state)
+
+
+def test_compact_converged_pass_leaves_state_untouched(spark):
+    """A compact with no unreflected edges must prove emptiness from the
+    epoch-pruned scan alone: no CC, no rewrite, no dir swap — every cluster
+    state file keeps its inode."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="noop-compact-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(inc.cluster_dir)
+    spark.createDataFrame([(1, 2, 0)], "id1 long, id2 long, batch_id int").write.parquet(inc.edge_dir)
+    m0 = inc.compact()  # full base pass; (1,2) already merged -> no rewrite
+    assert m0["cc_mode"] == "full" and m0["merged"] == 0, m0
+    before = _inode_map(inc.cluster_dir)
+    m1 = inc.compact()
+    assert m1["cc_mode"] == "scoped" and m1["merged"] == 0, m1
+    assert _inode_map(inc.cluster_dir) == before, "converged compact must not rewrite state"
+    shutil.rmtree(state)
+
+
+def test_compact_scoped_rewrite_hardlinks_untouched_partitions(spark):
+    """The scoped rewrite Spark-writes ONLY the dpart partitions holding a
+    changed doc; every untouched partition dir is hardlinked into the
+    swapped state (same inode), and co-partition neighbours of a changed doc
+    keep their labels through the touched-partition rewrite."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="hardlink-compact-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(i, i) for i in range(1, 41)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(inc.cluster_dir)
+    m0 = inc.compact()  # no edges: sets the epoch watermark, swaps nothing
+    assert m0["merged"] == 0
+    parts = {
+        r["doc_id"]: r["dpart"]
+        for r in spark.read.parquet(inc.cluster_dir).select("doc_id", "dpart").collect()
+    }
+    # pick x < y in DIFFERENT dparts (y's label will change to x) and a
+    # neighbour z sharing y's dpart (must survive the partition rewrite)
+    x, y, z = None, None, None
+    for a in sorted(parts):
+        for b in sorted(parts):
+            if a < b and parts[a] != parts[b]:
+                zs = [c for c in parts if c not in (a, b) and parts[c] == parts[b]]
+                if zs:
+                    x, y, z = a, b, zs[0]
+                    break
+        if x is not None:
+            break
+    assert x is not None, "40 docs over 8 buckets must yield a cross-part pair"
+    before = _inode_map(inc.cluster_dir)
+    spark.createDataFrame(
+        [(x, y, 1, inc._edge_epoch())], "id1 long, id2 long, batch_id int, epoch int"
+    ).write.mode("append").parquet(inc.edge_dir)
+    m1 = inc.compact()
+    assert m1["cc_mode"] == "scoped" and m1["merged"] == 1, m1
+    assert m1["touched_parts"] == 1, m1
+    after = _inode_map(inc.cluster_dir)
+    touched_prefix = f"dpart={parts[y]}/"
+    for rel, ino in after.items():
+        if rel.startswith(touched_prefix):
+            assert before.get(rel) != ino, f"touched partition file not rewritten: {rel}"
+        elif rel.startswith("dpart="):
+            assert before.get(rel) == ino, f"untouched partition file lost its inode: {rel}"
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl[y] == x and cl[z] == z and cl[x] == x, cl
+    assert len(cl) == 40
+    shutil.rmtree(state)
