@@ -288,6 +288,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return _bruteforce_jaccard_pairs(spark, sf_dir, CFG.jaccard_threshold)
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): corpus docs
+    sharing >= half a probe doc's distinct 5-gram hashes with it — the
+    training-data hygiene pass (GPT-3 appendix C's 13-gram collision rule,
+    n parameterized). Probes = ``doc_id % 37 == 0`` (a deterministic
+    benchmark stand-in); corpus = the rest. The probe posting table is
+    measured-gated and broadcast, so the corpus side is never shuffled —
+    the only exchange carries the hit rows. Threshold is exact integer
+    arithmetic (hits*2 >= probe_n), mirrored verbatim in the oracle."""
+    from infoscience_imports_spark.operators.decontaminate import contamination_report
+
+    hs = _cached(_doc_shingles_hashed(spark, sf_dir))
+    probes = hs.filter(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select(
+        F.col("doc_id").alias("probe_id"), "shs", "n"
+    )
+    corpus = hs.filter(F.pmod(F.col("doc_id"), F.lit(37)) != 0)
+    return contamination_report(corpus, probes, CFG, min_frac=(1, 2))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """LSH path: signatures -> bands -> candidates -> exact-Jaccard verify."""
     # one small parquet file = one scan split: without the repartition the
@@ -909,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "decontaminate_docs": q_decontaminate_docs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_title": q_dedup_simhash_title,
@@ -1062,6 +1082,27 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE group_size > 1
         """,
         "dedup_ngram_jaccard": f"WITH {_SHINGLE_CTE} {jac_select}",
+        # string 5-grams stand in for the engine's hashed 5-grams: distinct
+        # counts agree modulo the documented 2^-63 hash-collision risk (same
+        # acceptance as the jaccard oracle). % == pmod here: doc_id >= 0.
+        "decontaminate_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(col='text')} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+              FROM toks WHERE len(t) >= 5),
+            probe AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 37 = 0),
+            corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 37 <> 0),
+            pp AS (SELECT probe_id, len(s) AS probe_n, unnest(s) AS g FROM probe),
+            cp AS (SELECT doc_id, unnest(s) AS g FROM corp),
+            h AS (
+              SELECT doc_id, probe_id, probe_n, count(*) AS hits
+              FROM cp JOIN pp USING (g) GROUP BY 1, 2, 3)
+            SELECT doc_id, probe_id, hits, probe_n,
+                   round(hits * 1.0 / probe_n, 6) AS frac
+            FROM h WHERE hits * 2 >= probe_n
+        """,
         "dedup_simhash_title": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS_SQL.format(col='text')} AS t FROM documents),

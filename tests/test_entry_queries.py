@@ -15,6 +15,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SUBSET = [
     "dedup_exact_groups",
+    "decontaminate_docs",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "containment_substring",

@@ -120,3 +120,53 @@ def test_normalize_doi(spark):
     )
     got = [r[0] for r in df.select(normalize_doi(F.col("d"))).collect()]
     assert got == ["10.5/abc", "10.1/x"]
+
+
+def test_contamination_report_planted_and_gate_fallback(spark):
+    """Planted contamination: a corpus doc embedding a probe verbatim is
+    flagged, an unrelated doc is not, and the integer threshold (hits*den >=
+    probe_n*num) is boundary-exact. The shuffle_hash fallback (gate forced
+    to 0) must return the identical row set as the broadcast path."""
+    import numpy as np
+
+    from infoscience_imports_spark.config import DedupConfig
+    from infoscience_imports_spark.functions.shingles import shingle_hashes, token_hashes
+    from infoscience_imports_spark.operators.decontaminate import (
+        contaminated_doc_ids,
+        contamination_report,
+    )
+
+    def sh_row(idx, text):
+        toks = text.split()
+        memo = {}
+        sh = shingle_hashes(token_hashes(toks, memo), 5)
+        return (idx, [int(x) for x in sh], int(sh.size))
+
+    probe_text = "alpha beta gamma delta epsilon zeta eta theta"  # 4 5-grams
+    dirty = "intro words here then " + probe_text + " trailing tail words"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    half = "alpha beta gamma delta epsilon zeta filler filler2"  # 2 of 4 grams
+    corpus = spark.createDataFrame(
+        [sh_row(1, dirty), sh_row(2, clean), sh_row(3, half)],
+        "doc_id long, shs array<long>, n int",
+    )
+    probes = spark.createDataFrame(
+        [sh_row(100, probe_text)], "probe_id long, shs array<long>, n int"
+    )
+    rep = {
+        (r["doc_id"], r["probe_id"]): (r["hits"], r["probe_n"])
+        for r in contamination_report(corpus, probes).collect()
+    }
+    assert rep[(1, 100)] == (4, 4), rep  # verbatim embed: every probe gram
+    assert (2, 100) not in rep  # unrelated doc
+    assert rep[(3, 100)] == (2, 4), rep  # exactly half: 2*2 >= 4 boundary kept
+    ids = {r["doc_id"] for r in contaminated_doc_ids(corpus, probes).collect()}
+    assert ids == {1, 3}
+
+    # gate forced shut -> shuffle_hash path, identical rows
+    tiny = DedupConfig(shuffle_partitions=4, broadcast_pair_limit=0)
+    rep2 = {
+        (r["doc_id"], r["probe_id"]): (r["hits"], r["probe_n"])
+        for r in contamination_report(corpus, probes, tiny).collect()
+    }
+    assert rep2 == rep
