@@ -463,6 +463,17 @@ def q_text_fingerprints(spark, sf_dir):
     return winnowing_fingerprints(docs).select("doc_id", "n_fingerprints")
 
 
+def q_text_topgrams(spark, sf_dir):
+    """Corpus n-gram document-frequency report (operators/textops.py
+    top_ngrams): top-100 5-grams by df, tie-broken on the gram string.
+    Pure Column expressions; the top-k runs as TakeOrdered (per-partition
+    heaps + k-row driver merge), never a global sort."""
+    from infoscience_imports_spark.operators.textops import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=5, k=100)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
+        "text_topgrams": q_text_topgrams,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1191,6 +1203,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_lang_id": _lang_sql(),
+        "text_topgrams": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(col='text')} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+              FROM toks WHERE len(t) >= 5),
+            p AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+            SELECT gram, count(*) AS df
+            FROM p GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 100
+        """,
         "text_fingerprints": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS_SQL.format(col='text')} AS t FROM documents),

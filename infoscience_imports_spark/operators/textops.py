@@ -154,3 +154,32 @@ def winnowing_fingerprints(
         F.array_sort(F.array_distinct(F.collect_list("fp"))).alias("fingerprints"),
         F.size(F.array_distinct(F.collect_list("fp"))).alias("n_fingerprints"),
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 5, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-k word n-grams by document frequency — corpus statistics for
+    boilerplate detection and tokenizer-corpus curation.
+
+    df counts DOCUMENTS containing the n-gram (``array_distinct`` per doc
+    before the explode), not occurrences — the quantity the LSH hot-bucket
+    cap and the AllPairs df-ascending prefix order key off, surfaced as a
+    user-facing report. Pure Column expressions into a partial-agg count;
+    the final top-k is ``orderBy().limit()`` which Spark executes as
+    TakeOrdered (per-partition heaps + a k-row driver merge), so nothing
+    global is ever sorted. Ties at the k boundary break on the gram string
+    for a deterministic result set."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+        )
+    )
+    return (
+        docs.select(tokens_col(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -21,6 +21,7 @@ SUBSET = [
     "containment_substring",
     "text_lang_id",
     "text_quality",
+    "text_topgrams",
     "ann_cosine_topk",
     "q1_pricing_summary",
     "events_sessionize",

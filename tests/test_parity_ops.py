@@ -170,3 +170,25 @@ def test_contamination_report_planted_and_gate_fallback(spark):
         for r in contamination_report(corpus, probes, tiny).collect()
     }
     assert rep2 == rep
+
+
+def test_top_ngrams_df_semantics_and_boundary_tiebreak(spark):
+    """df counts DOCUMENTS (per-doc distinct), not occurrences, and ties at
+    the k boundary break on the gram string so the result set is
+    deterministic."""
+    from infoscience_imports_spark.operators.textops import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            # doc repeats the same 2-gram three times: df must still be 1
+            ("x y x y x y",),
+            ("b b b b",),  # grams: "b b" x3 distinct-> 1
+            ("a a a a",),
+        ],
+        "text string",
+    )
+    out = top_ngrams(docs, n=2, k=2).collect()
+    rows = [(r["gram"], r["df"]) for r in out]
+    # candidate grams: "x y" (df 1), "y x" (df 1), "b b" (df 1), "a a" (df 1)
+    # all tied -> k=2 keeps the two lexicographically smallest
+    assert rows == [("a a", 1), ("b b", 1)], rows
