@@ -14,6 +14,8 @@ Usage (north_rule launch mode)::
     python -m infoscience_imports_spark.cli stream --input DIR --state DIR \
         [--compact-every N] [--deep-compact-every M]
     python -m infoscience_imports_spark.cli compact --state DIR [--deep] [--full-deep]
+    python -m infoscience_imports_spark.cli decontaminate --corpus DIR \
+        --probes DIR --out DIR [--ngram 13] [--min-frac 1/2]
 
 Replaces the reference's CLI (``data_pipeline/main.py:521-829``): the
 ``--stage`` flag generalizes its step flags, ``--resume`` generalizes its
@@ -102,6 +104,67 @@ def cmd_synth(args: argparse.Namespace) -> int:
         df = pipeline_input(df)
     df.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"pages": args.pages, "out": args.out}))
+    return 0
+
+
+def cmd_decontaminate(args: argparse.Namespace) -> int:
+    """Benchmark decontamination over two parquet dirs (operators/
+    decontaminate.py): flag corpus docs sharing >= --min-frac of a probe
+    doc's distinct word n-grams. Inputs may be (doc_id, text) doc tables or
+    raw (url, html) page tables — pages get the pipeline's frozen extract
+    kernel and xxhash64(url) ids, so the removal list anti-joins directly
+    against a corpus this engine deduped."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import extract_text_col
+    from .operators.decontaminate import contamination_report, shingle_frame
+
+    spark = get_spark(
+        app_name="webdedup-decontaminate",
+        master=f"local[{args.cores}]" if args.cores else None,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg = _cfg_from_args(args, spark)
+    num, den = (int(x) for x in args.min_frac.split("/"))
+
+    def docs_frame(path: str) -> "object":
+        df = spark.read.parquet(path)
+        if "text" in df.columns and "doc_id" in df.columns:
+            return df.select("doc_id", "text")
+        if "html" in df.columns and "url" in df.columns:
+            return df.select(
+                F.xxhash64("url").alias("doc_id"),
+                extract_text_col(F.col("html")).alias("text"),
+            )
+        raise SystemExit(
+            f"{path}: need (doc_id, text) or (url, html) columns, got {df.columns}"
+        )
+
+    corpus = shingle_frame(docs_frame(args.corpus), n=args.ngram)
+    probes = shingle_frame(docs_frame(args.probes), n=args.ngram).withColumnRenamed(
+        "doc_id", "probe_id"
+    )
+    rep = contamination_report(corpus, probes, cfg, (num, den))
+    rep.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct("doc_id").alias("contaminated_docs"),
+        F.countDistinct("probe_id").alias("probes_hit"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "pairs": stats["pairs"],
+                "contaminated_docs": stats["contaminated_docs"],
+                "probes_hit": stats["probes_hit"],
+                "min_frac": f"{num}/{den}",
+                "ngram": args.ngram,
+                "out": args.out,
+            }
+        )
+    )
+    caching.release_all()
     return 0
 
 
@@ -278,6 +341,24 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--config-json", default=None,
                        help="JSON object of DedupConfig field overrides")
     p_str.set_defaults(fn=cmd_stream)
+
+    p_dec = sub.add_parser(
+        "decontaminate", help="flag corpus docs sharing n-grams with a probe set"
+    )
+    p_dec.add_argument("--corpus", required=True,
+                       help="parquet dir: (doc_id, text) or (url, html)")
+    p_dec.add_argument("--probes", required=True,
+                       help="parquet dir of benchmark docs, same schemas accepted")
+    p_dec.add_argument("--out", required=True, help="report parquet output dir")
+    p_dec.add_argument("--ngram", type=int, default=13,
+                       help="n-gram width (13 = GPT-3-style collision rule)")
+    p_dec.add_argument("--min-frac", default="1/2",
+                       help="rational threshold num/den on shared/probe n-grams")
+    p_dec.add_argument("--cores", type=int, default=None)
+    p_dec.add_argument("--shuffle-partitions", type=int, default=None)
+    p_dec.add_argument("--config-json", default=None,
+                       help="JSON object of DedupConfig field overrides")
+    p_dec.set_defaults(fn=cmd_decontaminate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

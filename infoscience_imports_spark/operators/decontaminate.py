@@ -98,3 +98,55 @@ def contaminated_doc_ids(
         .select("doc_id")
         .distinct()
     )
+
+
+def shingle_frame(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, shs, n) — distinct word n-gram hashes per doc, built with
+    the frozen Arrow shingle kernels (:mod:`..functions.shingles`), the
+    same normalize/tokenize/hash chain the dedup signature stage uses, so
+    a corpus deduped by this engine and a probe set shingled here agree
+    byte-for-byte on what an n-gram is. Docs with < n normalized tokens
+    emit no row (no n-grams exist — mirrors the dedup contract)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.shingles import shingle_hashes, token_hashes
+    from ..functions.text import normalize_text_py
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("shs", ArrayType(LongType(), False), False),
+            StructField("n", IntegerType(), False),
+        ]
+    )
+    src = docs.select(F.col(id_col).cast("long"), F.col(text_col).alias("text"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, arrs, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                toks = normalize_text_py(text if isinstance(text, str) else "").split()
+                if len(toks) < n:
+                    continue
+                sh = shingle_hashes(token_hashes(toks, memo), n)
+                ids.append(int(did))
+                arrs.append(sh.astype(np.int64))
+                ns.append(int(sh.size))
+            yield pd.DataFrame({id_col: ids, "shs": arrs, "n": ns})
+
+    return src.mapInPandas(kernel, schema=schema)

@@ -939,3 +939,32 @@ def test_compact_scoped_rewrite_hardlinks_untouched_partitions(spark):
     assert cl[y] == x and cl[z] == z and cl[x] == x, cl
     assert len(cl) == 40
     shutil.rmtree(state)
+
+
+def test_cli_decontaminate_subcommand(spark, tmp_path):
+    """End-to-end CLI: doc-table corpus + probe set -> report parquet with
+    the verbatim-embedding doc flagged and the unrelated doc clean."""
+    probe_text = "alpha beta gamma delta epsilon zeta eta theta"
+    dirty = "intro words here then " + probe_text + " trailing tail words"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    corpus_dir, probes_dir, out_dir = (
+        str(tmp_path / "corpus"), str(tmp_path / "probes"), str(tmp_path / "report")
+    )
+    spark.createDataFrame(
+        [(1, dirty), (2, clean)], "doc_id long, text string"
+    ).write.parquet(corpus_dir)
+    spark.createDataFrame(
+        [(100, probe_text)], "doc_id long, text string"
+    ).write.parquet(probes_dir)
+    cmd = [
+        sys.executable, "-m", "infoscience_imports_spark.cli", "decontaminate",
+        "--corpus", corpus_dir, "--probes", probes_dir, "--out", out_dir,
+        "--ngram", "5", "--min-frac", "1/2", "--cores", "2",
+    ]
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["contaminated_docs"] == 1 and payload["probes_hit"] == 1, payload
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["hits"] == 4, rows
