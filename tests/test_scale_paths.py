@@ -77,3 +77,30 @@ def test_above_gate_recall_on_planted_truth(spark, tiny_pages):
     ).collect()[0]["r"]
     assert recall == 1.0
     shutil.rmtree(wh)
+
+
+def test_contamination_join_strategy_follows_gate(spark):
+    """Plan-shape pin for operators/decontaminate.py: under the gate the
+    probe postings BROADCAST (corpus side reaches the join without an
+    exchange); past the gate the join is an explicit ShuffledHashJoin —
+    never a size-estimate flip to a corpus-sided broadcast."""
+    from infoscience_imports_spark.operators.decontaminate import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(i, [i * 10 + 1, i * 10 + 2, 7], 3) for i in range(20)],
+        "doc_id long, shs array<long>, n int",
+    )
+    probes = spark.createDataFrame(
+        [(100, [7, 999, 998], 3)], "probe_id long, shs array<long>, n int"
+    )
+    rep = contamination_report(corpus, probes, DedupConfig(), min_frac=(0, 1))
+    rep.collect()  # finalize the adaptive plan before inspecting it
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rep0 = contamination_report(
+        corpus, probes, DedupConfig(broadcast_pair_limit=0), min_frac=(0, 1)
+    )
+    rep0.collect()
+    plan0 = rep0._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan0, plan0
+    assert "BroadcastHashJoin" not in plan0, plan0
