@@ -78,6 +78,52 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark size conf string ('32m', '1g', '134217728') to bytes."""
+    s = conf_val.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _t_par(spark: SparkSession, sf_dir: str, name: str, key: str | None = None) -> DataFrame:
+    """Read a table, repairing scan parallelism for small single-file inputs.
+
+    A table held in one small parquet file (or one with few row groups)
+    yields a near-serial scan: every downstream per-row expression then runs
+    on 1-2 cores while the rest idle (guide §2.5 input skew / §6 input split
+    size — measured: text_quality 6.1 s at sf1.0 with 1 effective scan
+    task vs ~0.5 s repartitioned). The fix is scale-ADAPTIVE, not a blind
+    repartition: only when the whole table is smaller than one scan split
+    per core (so byte-splitting provably cannot feed the cluster) is a
+    repartition to ``defaultParallelism`` inserted — at production scale the
+    gate never fires and no shuffle is added. ``key`` selects hash
+    partitioning (no sort-before-repartition pass, deterministic spread on
+    a near-unique column) over round-robin.
+    """
+    df = _t(spark, sf_dir, name)
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isfile(path):
+            total = os.path.getsize(path)
+        else:
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+            )
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    split = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    if total >= par * split:
+        return df
+    return df.repartition(par, F.col(key)) if key else df.repartition(par)
+
+
 def _doc_norm(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text_norm", normalize_text_col(F.col("text")))
 
@@ -166,6 +212,13 @@ def _bruteforce_jaccard_pairs(spark, sf_dir, threshold=0.70):
             F.col("_rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps)) + 1
         )
+        # df == 1 prefix postings can never produce a candidate: the shingle
+        # exists in exactly one document, so the a.s == b.s equi-join has no
+        # cross-document partner for it. Dropping them AFTER the rank (the
+        # prefix selection itself is unchanged) shrinks both self-join inputs
+        # — most shingles are unique, so this removes the bulk of the pair
+        # join's shuffle (guide §2.3 "shuffle fewer bytes")
+        .filter(F.col("df") > 1)
         .select("doc_id", "n", "s")
     )
     # prefix postings are still O(corpus): pin shuffle-hash (a size-estimate
@@ -431,7 +484,9 @@ def q_url_canonicalize(spark, sf_dir):
 
 
 def q_text_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # size-gated repartition: the regex/tokenize chain is CPU-dense and the
+    # single-file scan otherwise pins it to 1-2 cores (guide §2.5/§6)
+    docs = _t_par(spark, sf_dir, "documents", key="doc_id")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -441,12 +496,18 @@ def q_text_token_stats(spark, sf_dir):
 
 
 def q_text_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+    docs = _t_par(spark, sf_dir, "documents", key="doc_id")
+    # hoist the token array so the normalize+split chain runs once per row,
+    # not once per marker expression (12x) — values identical by construction
+    from infoscience_imports_spark.operators.textops import lang_id_from_tokens, tokens_col
+
+    return docs.withColumn("_toks", tokens_col(F.col("text"))).select(
+        "doc_id", lang_id_from_tokens(F.col("_toks")).alias("lang_pred")
+    )
 
 
 def q_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents", key="doc_id")
     return quality_features(docs).select(
         "doc_id",
         "n_tokens",
@@ -459,7 +520,7 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents", key="doc_id")
     return winnowing_fingerprints(docs).select("doc_id", "n_fingerprints")
 
 
@@ -470,7 +531,7 @@ def q_text_topgrams(spark, sf_dir):
     heaps + k-row driver merge), never a global sort."""
     from infoscience_imports_spark.operators.textops import top_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents", key="doc_id")
     return top_ngrams(docs, n=5, k=100)
 
 
@@ -531,7 +592,13 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
     32 bands x 2 bits: miss prob < 2e-8 at sim 0.50, so the output equals
     the exact all-pairs result on this data (the oracle is the brute-force
-    SQL) while the plan shape is the bucketed equi-join that scales."""
+    SQL). Round 6: the operator now measures band-bucket density first —
+    2-bit bands have only 4 buckets, so the banded self-join is
+    near-quadratic WITH overhead at any corpus size (measured: ~1.6e9
+    candidate rows at 50k docs' embeddings, a disk-filling spill) — and
+    takes the exact tiled-matmul path (the same kernel as
+    ``embedding_neardup``) when collisions rival brute force, which meets
+    the same exact-re-rank output contract."""
     emb = _t(spark, sf_dir, "embeddings")
     return similar_pairs_lsh(
         emb, threshold=0.50, dim=64, bands=32, rows_per_band=2
@@ -598,9 +665,16 @@ def q3_shipping_priority(spark, sf_dir):
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     one = F.lit(1).cast("decimal(4,2)")
+    # pin the build side of the lineitem join: without the hint the planner's
+    # size estimate flips to broadcasting the 3-column projection of the FACT
+    # table (6M rows at sf1.0 — a multi-second hashed-relation build, and the
+    # anti-scaling side at any larger input); the filtered cust⋈orders side
+    # is the dimension-bounded one (guide §3.1: choose the build side
+    # deliberately, estimates are often wrong after filters)
     return (
         F.broadcast(cust)
         .join(orders, cust.c_custkey == orders.o_custkey)
+        .hint("broadcast")
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
@@ -654,7 +728,10 @@ def q_orders_running_window(spark, sf_dir):
 
 
 def q_monthly_order_stats(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    # the per-row date_format + decimal work otherwise runs on the 2-row-
+    # group scan's 2 tasks (guide §2.5); hash repartition on the near-unique
+    # order key spreads it, gated off at production input sizes
+    orders = _t_par(spark, sf_dir, "orders", key="o_orderkey")
     price = F.col("o_totalprice").cast("decimal(14,2)")
     return (
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
@@ -723,7 +800,7 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_par(spark, sf_dir, "events", key="event_id")
     val = F.col("value").cast("decimal(10,2)")
     return (
         ev.groupBy(

@@ -101,7 +101,18 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     speculative plans pay that probe even if the returned frame is never
     executed; it is one stats aggregation over the bucket table.
     """
-    pre = buckets.repartition("band", "bucket")
+    from ..caching import persist_tracked
+
+    # The repartitioned bucket table has TWO executing jobs over it: the
+    # hot-slice probe (collect, below) and whatever action the caller runs
+    # over the returned pair frame. Separate jobs cannot reuse each other's
+    # exchanges (AQE compiles per action), so without a persist the scan +
+    # (band, bucket) shuffle ran twice per family (guide §2.4). The cache is
+    # an InMemoryRelation, which — unlike the localCheckpoint this stage
+    # briefly had in round 3 — PRESERVES the hash output partitioning, so
+    # the downstream groupBy still plans zero extra exchanges. Narrow rows
+    # (doc_id, band, bucket); released via the tracked-persist registry.
+    pre = persist_tracked(buckets.repartition("band", "bucket"))
     stats = pre.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize"),
         F.min("doc_id").alias("h1"),

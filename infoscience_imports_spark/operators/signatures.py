@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import DedupConfig, DEFAULT_CONFIG
-from ..functions.minhash import perm_params, minhash_signature
+from ..functions.minhash import perm_params
 from ..functions.shingles import shingle_hashes, token_hashes
 from ..functions.simhash import simhash64
 from ..functions.text import normalize_text_col
@@ -123,12 +123,14 @@ def compute_signatures(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.minhash import minhash_signatures_stacked
+
         for pdf in batches:
             memo: dict[str, int] = {}
             n = len(pdf)
-            minhashes = [None] * n
             simhashes = np.zeros(n, dtype=np.int64)
             bottomks = [None] * n
+            sh_sets: list[np.ndarray] = [None] * n
             shingle_lists = [None] * n if include_shingles else None
             n_sh = np.zeros(n, dtype=np.int32)
             n_tok = np.zeros(n, dtype=np.int32)
@@ -136,7 +138,7 @@ def compute_signatures(
                 toks = text.split() if isinstance(text, str) else []
                 th = token_hashes(toks, memo)
                 sh = shingle_hashes(th, k)
-                minhashes[i] = minhash_signature(sh, a_param, b_param)
+                sh_sets[i] = sh
                 # SimHash over the title-like prefix (short-field path)
                 head = th[:title_tokens]
                 fp = simhash64(head)
@@ -146,13 +148,15 @@ def compute_signatures(
                     shingle_lists[i] = sh.astype(np.int64)
                 n_sh[i] = sh.size
                 n_tok[i] = len(toks)
-            bands = (
-                list(band_keys(np.stack(minhashes), n_bands)) if n else []
-            )
+            # one stacked multiply-add + segment-min for the whole batch:
+            # short docs make the per-doc kernel overhead-bound (guide §4.2
+            # "hand whole batches to vectorized native libraries")
+            mh = minhash_signatures_stacked(sh_sets, a_param, b_param)
+            bands = list(band_keys(mh, n_bands)) if n else []
             out = {
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "digest": pdf["digest"].to_numpy(),
-                "minhash": minhashes,
+                "minhash": list(mh),
                 "bands": bands,
                 "simhash64": simhashes,
                 "bottomk": bottomks,

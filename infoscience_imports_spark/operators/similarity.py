@@ -301,14 +301,42 @@ def similar_pairs_lsh(
         keys = (bits * weights).sum(axis=2).astype(np.int64)
         return pd.Series(list(keys))
 
-    banded = corpus.select(
-        F.col(id_c).alias("_id"),
-        F.col(vec_c).alias("_v"),
-        F.posexplode(band_buckets(F.col(vec_c))).alias("band", "bucket"),
+    from ..caching import persist_tracked
+
+    banded = persist_tracked(
+        corpus.select(
+            F.col(id_c).alias("_id"),
+            F.posexplode(band_buckets(F.col(vec_c))).alias("band", "bucket"),
+        )
     )
+    # Measured density gate (round 6): with few sign bits per band the
+    # buckets are DENSE — e.g. 2-bit bands have only 4 buckets, so every
+    # (band, bucket) holds ~n/4 vectors and the self-join emits ~B * n^2/8
+    # candidate rows (measured: the 20k-vector corpus at 32x2 produced
+    # ~1.6e9 candidates and spilled the disk to death before this gate).
+    # When the banded candidate volume rivals brute force, banding buys
+    # nothing: fall through to the exact blocked kernel (similar_pairs),
+    # whose candidate set is the full pair space — a SUPERSET of every band
+    # collision — scored with tiled matmuls instead of per-pair rows, and
+    # whose verified output meets the same exact-re-rank contract. One
+    # narrow aggregate over the persisted band table decides (measured, not
+    # guessed — the gate_broadcast discipline).
+    stats = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    row = stats.agg(
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)).alias("cand"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("rows"),
+    ).collect()[0]
+    n = int(row["rows"]) // max(1, bands)
+    if row["cand"] >= 0.5 * n * (n - 1) / 2:
+        return similar_pairs(corpus, threshold, id_c=id_c, vec_c=vec_c)
+
     # O(corpus) on both sides: pin a shuffle join (same rationale as the
     # MinHash bucket self-join in lsh.py — a size-estimate flip to broadcast
-    # would build a corpus-sized hash relation)
+    # would build a corpus-sized hash relation). The join carries IDS ONLY:
+    # vectors are ~1 KB a row and every true pair collides in up to
+    # ``bands`` buckets, so dragging them through the join + distinct
+    # multiplied the shuffled bytes ~60x; they are re-attached per DISTINCT
+    # pair below (guide §2.3 "shuffle keys, not payloads").
     a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
@@ -319,14 +347,13 @@ def similar_pairs_lsh(
                 F.col("a._id") < F.col("b._id"),
             ],
         )
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            F.col("a._v").alias("_v1"),
-            F.col("b._v").alias("_v2"),
-        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    vecs = corpus.select(F.col(id_c).alias("_id"), F.col(vec_c).alias("_v"))
+    cand = cand.join(
+        vecs.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1")), on="id1"
+    ).join(vecs.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2")), on="id2")
     return (
         cand.withColumn("sim", cos(F.col("_v1"), F.col("_v2")))
         .filter(F.col("sim") >= F.lit(threshold))

@@ -312,6 +312,18 @@ class IncrementalNearDedup(IncrementalDedup):
         self.compact_every = compact_every
         self.deep_compact_every = deep_compact_every
         self.last_compact_metrics: dict | None = None
+        # the bucket count is baked into every stored dpart value; reopening
+        # with a different one would silently corrupt pruned reads and the
+        # partition-scoped rewrite (round-5 ADVICE) — validate against the
+        # stamp the first compaction wrote
+        stamped = self._read_meta().get("n_state_buckets")
+        if stamped is not None and int(stamped) != int(n_state_buckets):
+            raise ValueError(
+                f"state dir {state_dir} was written with n_state_buckets="
+                f"{stamped} but opened with {n_state_buckets}; dpart values "
+                "on disk would no longer match pmod(xxhash64(doc_id)) — "
+                "reopen with the original bucket count (or re-ingest)"
+            )
 
     def _part(self, *cols):
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_state_buckets)).cast("int")
@@ -542,6 +554,12 @@ class IncrementalNearDedup(IncrementalDedup):
                 df.unpersist()
             fresh.unpersist()
             sg.unpersist()
+            # operator-internal tracked persists (candidate_pairs now caches
+            # its repartitioned bucket table) must not accumulate across
+            # micro-batches — same drain the compact() path does
+            from .. import caching
+
+            caching.release_all()
         self._maybe_auto_compact(batch_id)
 
     def _maybe_auto_compact(self, batch_id: int) -> None:
@@ -613,6 +631,9 @@ class IncrementalNearDedup(IncrementalDedup):
         import json
 
         m = self._read_meta()
+        # stamp the layout parameter alongside the watermarks so a reopen
+        # with a different bucket count is rejected at __init__ (see there)
+        m.setdefault("n_state_buckets", int(self.n_state_buckets))
         m.update(kv)
         tmp = self._compact_meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -851,9 +872,14 @@ class IncrementalNearDedup(IncrementalDedup):
             # cheap to prove, and the common case under a compaction cadence
             new_edges = None
         if new_edges is None:
-            # generation DID run to completion over its scope — advance both
-            # watermarks even though nothing needs rewriting
-            self._advance_watermarks(deep, next_wm, epoch_hi)
+            # generation DID run to completion over its scope — advance the
+            # DEEP watermark, but NOT cc_edge_epoch: no epoch_hi edge row was
+            # observed in the pruned scan, so advancing would mark rows
+            # appended between the scan and this write as reflected without
+            # ever CC-ing them — silently lost merges under a racing stream
+            # (round-5 ADVICE). Leaving the epoch unchanged is free: the next
+            # pass's pruned scan still footer-skips every reflected file.
+            self._advance_watermarks(deep, next_wm, None)
             n_before = (
                 clusters.select("cluster_id").distinct().count()
                 if count_clusters
@@ -929,11 +955,20 @@ class IncrementalNearDedup(IncrementalDedup):
         # Docs absent from the CC assignment fall back to their EXISTING
         # cluster_id (for seeded prior members that is never reached; this
         # covers true singletons, whose cluster_id == doc_id).
+        # dpart rides along from the STORED rows (when present): the scoped
+        # rewrite below selects touched partitions by the layout on disk,
+        # not by re-deriving pmod(xxhash64(doc_id)) — a state dir reopened
+        # with a different --state-buckets would otherwise hardlink the
+        # changed docs' real partition dirs through with stale labels while
+        # rewriting the wrong ones (round-5 ADVICE). Open-time validation in
+        # __init__ rejects the misconfiguration outright; this keeps the
+        # rewrite self-consistent even for legacy dirs predating the stamp.
+        _relabel_cols = ["doc_id"] + (["dpart"] if has_dpart else [])
         relabeled = (
-            scope_members.select("doc_id", F.col("cluster_id").alias("_prior"))
+            scope_members.select(*_relabel_cols, F.col("cluster_id").alias("_prior"))
             .join(assign, on="doc_id", how="left")
             .select(
-                "doc_id",
+                *_relabel_cols,
                 F.coalesce("cluster_id", "_prior").alias("cluster_id"),
                 F.col("_prior").alias("prior_cluster"),
             )
@@ -951,11 +986,19 @@ class IncrementalNearDedup(IncrementalDedup):
                     if count_clusters
                     else None
                 )
-            if merged == 0:
-                # components only MERGE, so an unchanged distinct count means
-                # every component is a single prior cluster — no label moved
-                # and the rewrite would be byte-identical. Skip it, the swap,
-                # and the dir churn; just advance the watermarks.
+            # The rewrite may be skipped only when NO label moved. merged == 0
+            # alone does not prove that (round-5 ADVICE): the micro-batch
+            # path assigns a new doc the MIN EXISTING cluster_id of its
+            # partners, and doc_ids are hash values, so a later-admitted doc
+            # with a lower id can cause the scoped CC to relabel a single
+            # prior cluster to a new lower minimum with merged == 0 — the
+            # distinct count is unchanged but the component-min convention
+            # drifts. Probe the persisted relabel frame directly (one cheap
+            # limit-1 job); a pure relabel falls through to the scoped
+            # rewrite, which restores the documented invariant.
+            if merged == 0 and not relabeled.filter(
+                F.col("cluster_id") != F.col("prior_cluster")
+            ).limit(1).count():
                 self._advance_watermarks(deep, next_wm, epoch_hi)
                 return {
                     "docs": n_docs,
@@ -980,11 +1023,11 @@ class IncrementalNearDedup(IncrementalDedup):
                 changed = relabeled.filter(
                     F.col("cluster_id") != F.col("prior_cluster")
                 )
+                # STORED dpart (carried through relabeled), not recomputed:
+                # the partitions to rewrite are wherever the changed docs
+                # actually live on disk
                 touched = sorted(
-                    r[0]
-                    for r in changed.select(self._part("doc_id").alias("dpart"))
-                    .distinct()
-                    .collect()
+                    r[0] for r in changed.select("dpart").distinct().collect()
                 )
                 touched_n = len(touched)
                 rows = (
@@ -1039,11 +1082,23 @@ class IncrementalNearDedup(IncrementalDedup):
             "cc_rewrite_s": round(time.monotonic() - t_cc, 3),
         }
 
-    def _advance_watermarks(self, deep: bool, next_wm, epoch_hi: int) -> None:
-        kv = {"cc_edge_epoch": int(epoch_hi)}
+    def _advance_watermarks(self, deep: bool, next_wm, epoch_hi: int | None) -> None:
+        """``epoch_hi=None`` advances the deep watermark only: a pass that
+        observed no epoch_hi edge rows must not mark that epoch reflected
+        (a racing append between scan and advance would be silently lost).
+        For passes that DID CC epoch_hi rows the advance is correct for
+        everything scanned; an append racing in after the scan remains the
+        documented quiesce requirement (run compaction between
+        ``availableNow`` triggers / under the foreachBatch serialization of
+        the auto-cadence path — the watermark advance is part of the
+        critical section, not just the dir swap)."""
+        kv: dict = {}
+        if epoch_hi is not None:
+            kv["cc_edge_epoch"] = int(epoch_hi)
         if deep and next_wm is not None:
             kv["deep_batch_watermark"] = int(next_wm)
-        self._update_meta(**kv)
+        if kv:
+            self._update_meta(**kv)
 
     @staticmethod
     def _link_untouched_parts(src: str, dst: str, touched: set[str]) -> None:

@@ -899,14 +899,24 @@ def test_compact_scoped_rewrite_hardlinks_untouched_partitions(spark):
 
     state = tempfile.mkdtemp(prefix="hardlink-compact-")
     inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    # docs 41/42 are a pre-merged pair whose edge IS in edge state: the
+    # first compact then observes a row, reflects it (merged 0, no label
+    # moved -> skip + epoch advance) and establishes the scoped base case.
+    # (Round-6 ADVICE fix: a compact that observes NO edge rows no longer
+    # advances the epoch, so an empty pass cannot set the watermark.)
     spark.createDataFrame(
-        [(i, i) for i in range(1, 41)], "doc_id long, cluster_id long"
+        [(i, i) for i in range(1, 41)] + [(41, 41), (42, 41)],
+        "doc_id long, cluster_id long",
     ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(inc.cluster_dir)
-    m0 = inc.compact()  # no edges: sets the epoch watermark, swaps nothing
+    spark.createDataFrame(
+        [(42, 41, 0)], "id1 long, id2 long, batch_id int"
+    ).write.parquet(inc.edge_dir)
+    m0 = inc.compact()  # reflects the seed edge: sets the epoch, swaps nothing
     assert m0["merged"] == 0
     parts = {
         r["doc_id"]: r["dpart"]
         for r in spark.read.parquet(inc.cluster_dir).select("doc_id", "dpart").collect()
+        if r["doc_id"] < 41  # keep the seed pair out of the x/y/z pick
     }
     # pick x < y in DIFFERENT dparts (y's label will change to x) and a
     # neighbour z sharing y's dpart (must survive the partition rewrite)
@@ -937,7 +947,8 @@ def test_compact_scoped_rewrite_hardlinks_untouched_partitions(spark):
             assert before.get(rel) == ino, f"untouched partition file lost its inode: {rel}"
     cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
     assert cl[y] == x and cl[z] == z and cl[x] == x, cl
-    assert len(cl) == 40
+    assert cl[41] == cl[42] == 41  # the pre-merged seed pair is untouched
+    assert len(cl) == 42
     shutil.rmtree(state)
 
 
@@ -968,3 +979,92 @@ def test_cli_decontaminate_subcommand(spark, tmp_path):
     assert payload["contaminated_docs"] == 1 and payload["probes_hit"] == 1, payload
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["hits"] == 4, rows
+
+
+def test_compact_restores_component_min_label_on_pure_relabel(spark):
+    """Round-5 ADVICE (medium): a later-admitted doc with a LOWER id that the
+    micro-batch path attached to an existing cluster leaves the cluster
+    labeled by its old (higher) minimum. The scoped CC then relabels the
+    component to the new minimum with merged == 0 — the distinct-count skip
+    must NOT discard that relabel, or ids drift from the documented
+    component-minimum convention."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="compact-relabel-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    # cluster {5, 10, 20} labeled 10 (the pre-arrival minimum): doc 5 was
+    # admitted later and adopted the existing label, per-batch semantics
+    spark.createDataFrame(
+        [(5, 10), (10, 10), (20, 10)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(
+        inc.cluster_dir
+    )
+    spark.createDataFrame([(5, 10, 0)], "id1 long, id2 long, batch_id int").write.parquet(
+        inc.edge_dir
+    )
+    m = inc.compact()
+    assert m["merged"] == 0, m  # one prior cluster -> one component
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl == {5: 5, 10: 5, 20: 5}, f"component-min convention drifted: {cl}"
+    # truly converged second pass: no label moves, the skip fires
+    m2 = inc.compact()
+    assert m2["merged"] == 0
+    shutil.rmtree(state)
+
+
+def test_compact_converged_pass_does_not_advance_edge_epoch(spark):
+    """Round-5 ADVICE (low): a converged pass observes NO epoch_hi rows, so
+    it must not mark that epoch reflected — an edge appended between the
+    pruned scan and the watermark write would otherwise be permanently
+    skipped (silently lost merge)."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="compact-epoch-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(
+        inc.cluster_dir
+    )
+    spark.createDataFrame([(2, 1, 0)], "id1 long, id2 long, batch_id int").write.parquet(
+        inc.edge_dir
+    )
+    inc.compact()
+    e1 = inc._cc_epoch()
+    assert e1 is not None
+    # converged pass: empty pruned slice -> epoch must stay put
+    inc.compact()
+    assert inc._cc_epoch() == e1, "converged pass advanced cc_edge_epoch"
+    # a later edge (stamped e1+1 by the append contract) is still picked up
+    spark.createDataFrame(
+        [(7, 1, 1, e1 + 1)], "id1 long, id2 long, batch_id int, epoch int"
+    ).write.mode("append").parquet(inc.edge_dir)
+    m = inc.compact()
+    assert m["merged"] == 1, m
+    cl = {r["doc_id"]: r["cluster_id"] for r in inc.clusters().collect()}
+    assert cl[7] == cl[1] == cl[2] == 1
+    shutil.rmtree(state)
+
+
+def test_reopen_with_different_state_buckets_rejected(spark):
+    """Round-5 ADVICE (low): dpart values on disk bake in the bucket count;
+    a reopen with a different one must be rejected at __init__, not
+    silently corrupt pruned reads and the partition-scoped rewrite."""
+    from infoscience_imports_spark.streaming.incremental import IncrementalNearDedup
+
+    state = tempfile.mkdtemp(prefix="compact-buckets-")
+    inc = IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    ).withColumn("dpart", inc._part("doc_id")).write.partitionBy("dpart").parquet(
+        inc.cluster_dir
+    )
+    spark.createDataFrame([(2, 1, 0)], "id1 long, id2 long, batch_id int").write.parquet(
+        inc.edge_dir
+    )
+    inc.compact()  # stamps n_state_buckets into _compact_meta.json
+    # same count reopens fine
+    IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=8)
+    with pytest.raises(ValueError, match="n_state_buckets"):
+        IncrementalNearDedup(spark, state, DedupConfig(shuffle_partitions=8), n_state_buckets=16)
+    shutil.rmtree(state)

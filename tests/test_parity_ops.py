@@ -192,3 +192,35 @@ def test_top_ngrams_df_semantics_and_boundary_tiebreak(spark):
     # candidate grams: "x y" (df 1), "y x" (df 1), "b b" (df 1), "a a" (df 1)
     # all tied -> k=2 keeps the two lexicographically smallest
     assert rows == [("a a", 1), ("b b", 1)], rows
+
+
+def test_winnowing_kernel_equals_windowed_form(spark):
+    """The Arrow winnowing kernel (round-6: per-row NumPy sliding windows,
+    zero shuffle) must be row-identical to the JVM window-function form it
+    replaced — including <k-token docs (absent), exactly-k docs (one gram),
+    repeated tokens, empty and NULL text."""
+    from infoscience_imports_spark.operators.textops import (
+        _winnowing_fingerprints_windowed,
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four"),          # < k tokens: no output row
+        (3, "a b c d e"),                   # exactly k: one gram
+        (4, "x x x x x x x x"),             # repeated tokens
+        (5, ""),                            # empty
+        (6, None),                          # null
+        (7, "The quick, BROWN fox; jumps over 42 lazy dogs again and again"),
+        (8, " ".join(f"w{i % 7}" for i in range(64))),  # long, cyclic
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["fingerprints"]), r["n_fingerprints"])
+        for r in winnowing_fingerprints(docs).collect()
+    }
+    want = {
+        r["doc_id"]: (list(r["fingerprints"]), r["n_fingerprints"])
+        for r in _winnowing_fingerprints_windowed(docs).collect()
+    }
+    assert got == want
