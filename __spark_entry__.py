@@ -401,7 +401,10 @@ def q_dedup_simhash_title(spark, sf_dir):
     pf = docs.select(
         "doc_id", F.sort_array(F.slice(toks, 1, 12)).alias("ps")
     )
-    sg = sigs.compute_signatures(docs, CFG, text_col="text_norm", id_col="doc_id")
+    # cached: the signature frame feeds the banding probe job, the gated
+    # candidate count AND both sides of hamming_edges — uncached, the Arrow
+    # kernel re-ran once per consumer (measured ~1.2 s each at sf1.0)
+    sg = _cached(sigs.compute_signatures(docs, CFG, text_col="text_norm", id_col="doc_id"))
     cand = lsh.simhash_candidate_pairs(sg, CFG)
     j = (
         cand.join(pf.select(F.col("doc_id").alias("id1"), F.col("ps").alias("ps1")), on="id1")
@@ -633,7 +636,10 @@ def q_doc_rollup(spark, sf_dir):
 
 
 def q1_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # the BigDecimal-path sums (result precision > 18) are the per-row cost
+    # and the 6-row-group scan caps them at ~6 cores; the gated repartition
+    # spreads them (interleaved A/B: 1.67 s vs 1.86 s, consistent)
+    li = _t_par(spark, sf_dir, "lineitem", key="l_orderkey")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -800,7 +806,11 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
-    ev = _t_par(spark, sf_dir, "events", key="event_id")
+    # NOT repartitioned: unlike the JSON queries, the per-row work here
+    # (one date_format + decimal partial agg) is too cheap to pay a 1M-row
+    # exchange for parallelism — interleaved A/B read 1.33 s repartitioned
+    # vs 0.90 s on the straight single-task scan
+    ev = _t(spark, sf_dir, "events")
     val = F.col("value").cast("decimal(10,2)")
     return (
         ev.groupBy(
@@ -812,10 +822,19 @@ def q_events_hourly(spark, sf_dir):
 
 
 def q_events_json(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_par(spark, sf_dir, "events", key="event_id")
+    # hoist the JSON extraction: referencing the expression in the group key
+    # AND both aggregates parsed every props string 3x per row (no
+    # cross-expression CSE in Catalyst)
     k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy(F.pmod(k, F.lit(10)).alias("k_mod")).agg(
-        F.count(F.lit(1)).alias("n"), F.min(k).alias("min_k"), F.max(k).alias("max_k")
+    return (
+        ev.select(k.alias("_k"))
+        .groupBy(F.pmod(F.col("_k"), F.lit(10)).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
     )
 
 
@@ -828,7 +847,7 @@ def q_events_json_variants(spark, sf_dir):
     first-non-null search (orcid_client.py:101-152). One from_json with the
     union schema parses both; coalesce over the variant paths recovers the
     fields without per-row Python."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_par(spark, sf_dir, "events", key="event_id")
     k = F.get_json_object("props", "$.k").cast("int")
     js = F.when(
         F.pmod("event_id", F.lit(2)) == 0,
@@ -837,11 +856,16 @@ def q_events_json_variants(spark, sf_dir):
         F.format_string('{"payload": {"k": %s}, "tags": ["%s"]}', k, F.upper("event_type"))
     )
     schema = "k int, meta struct<type:string>, payload struct<k:int>, tags array<string>"
+    # hoist the parsed struct into its own projection: k_any and label
+    # referenced 3 paths of ``p``, and inlined each re-ran from_json (which
+    # itself embeds the get_json_object + format_string chain) per
+    # reference — ~5 full parses per row before the hoist
     p = F.from_json(js, schema)
-    k_any = F.coalesce(p["k"], p["payload"]["k"])
-    label = F.coalesce(p["meta"]["type"], F.try_element_at(p["tags"], F.lit(1)))
+    parsed = ev.select(p.alias("_p"))
+    k_any = F.coalesce(F.col("_p.k"), F.col("_p.payload.k"))
+    label = F.coalesce(F.col("_p.meta.type"), F.try_element_at(F.col("_p.tags"), F.lit(1)))
     return (
-        ev.select(F.pmod(k_any, F.lit(10)).alias("k_mod"), label.alias("label"))
+        parsed.select(F.pmod(k_any, F.lit(10)).alias("k_mod"), label.alias("label"))
         .groupBy("k_mod", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -878,7 +902,11 @@ def q_orders_pagination(spark, sf_dir):
 def q_family_agg_orders(spark, sf_dir):
     """A10 family aggregation pattern: per order, latest line wins scalars,
     multi-valued fields union-dedup-sorted (epo_ops_client.py:775-897)."""
-    li = _t(spark, sf_dir, "lineitem").withColumn("pk", F.array("l_partkey"))
+    # size-gated: the single-file lineitem scan yields ~6 tasks (row-group
+    # bound) for the struct/array-heavy partial aggregation
+    li = _t_par(spark, sf_dir, "lineitem", key="l_orderkey").withColumn(
+        "pk", F.array("l_partkey")
+    )
     fam = aggregate_families(
         li,
         family_col="l_orderkey",
@@ -911,7 +939,7 @@ def q_authors_nested_exists(spark, sf_dir):
         filter_exists_author,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_par(spark, sf_dir, "lineitem", key="l_orderkey")
     nested = build_author_array(
         li, group_col="l_orderkey",
         struct_cols=("l_returnflag", "l_linestatus"),
@@ -936,7 +964,7 @@ def q_authors_explode_dedup(spark, sf_dir):
         explode_authors,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_par(spark, sf_dir, "lineitem", key="l_orderkey")
     nested = build_author_array(
         li, group_col="l_orderkey",
         struct_cols=("l_returnflag", "l_linestatus"),
@@ -975,7 +1003,7 @@ def q_orders_partkey_overlap(spark, sf_dir):
     list. The VALUES-side is a pure literal array (no join, no shuffle) and
     the predicate is JVM-side."""
     hot = [1, 5, 22, 77, 123]
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_par(spark, sf_dir, "lineitem", key="l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("pks")
     )

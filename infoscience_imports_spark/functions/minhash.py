@@ -38,62 +38,13 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 def minhash_batch(shingle_sets: list[np.ndarray], cfg: DedupConfig = DEFAULT_CONFIG) -> list[np.ndarray]:
-    """Signatures for a batch of shingle sets (used inside the Arrow UDF)."""
+    """Signatures for a batch of shingle sets (used inside the Arrow UDF).
+
+    Deliberately a per-doc loop: a whole-batch concatenate +
+    ``np.minimum.reduceat`` variant was benchmarked in round 6 and ran
+    8-24x SLOWER (reduceat's segment loop is a generalized-ufunc inner
+    loop, far off the per-doc matmul-min's memory bandwidth) — the per-doc
+    kernel is the fast form at both short and long doc lengths.
+    """
     a, b = perm_params(cfg)
     return [minhash_signature(s, a, b) for s in shingle_sets]
-
-
-def minhash_signatures_stacked(
-    shingle_sets: list[np.ndarray | None],
-    a: np.ndarray,
-    b: np.ndarray,
-    chunk_elems: int = 4_000_000,
-) -> np.ndarray:
-    """(n_docs, num_perms) int64 signatures for a whole batch in a few
-    NumPy calls instead of one per doc.
-
-    Web docs are short (tens of shingles), so the per-doc
-    :func:`minhash_signature` spends more time in NumPy call/allocation
-    overhead than in the multiply-add (measured: the signature kernel ran
-    ~33 CPU-s over 50k ~45-token docs; batched it is ~3x cheaper). All
-    shingle arrays are concatenated once; the (total_m, P) hash matrix is
-    computed in bounded chunks (``chunk_elems`` values ≈ 32 MB at P=128)
-    and per-doc minima come from ``np.minimum.reduceat`` over the segment
-    starts. Identical output to the per-doc kernel by construction: same
-    uint64 wrap-around multiply-add, same >>32, same per-set minimum, same
-    empty-set sentinel (pinned by tests/test_kernels.py equivalence test).
-    """
-    n = len(shingle_sets)
-    P = a.shape[0]
-    out = np.full((n, P), _EMPTY_SENTINEL, dtype=np.int64)
-    lens = np.fromiter(
-        (0 if s is None else s.size for s in shingle_sets), dtype=np.int64, count=n
-    )
-    nz = np.flatnonzero(lens)
-    if nz.size == 0:
-        return out
-    arrays = [np.asarray(shingle_sets[i], dtype=np.uint64) for i in nz]
-    S = np.concatenate(arrays)
-    seg_lens = lens[nz]
-    starts = np.zeros(nz.size, dtype=np.int64)
-    np.cumsum(seg_lens[:-1], out=starts[1:])
-    # chunk over whole documents so every reduceat segment stays inside one
-    # chunk; bound = chunk_elems total hash-matrix values per chunk
-    max_rows = max(int(seg_lens.max()), chunk_elems // P)
-    mins = np.empty((nz.size, P), dtype=np.uint64)
-    doc_lo = 0
-    with np.errstate(over="ignore"):  # uint64 wrap-around IS the hash family
-        while doc_lo < nz.size:
-            doc_hi = doc_lo
-            row_lo = starts[doc_lo]
-            row_hi = row_lo
-            while doc_hi < nz.size and (row_hi - row_lo) + seg_lens[doc_hi] <= max_rows:
-                row_hi += seg_lens[doc_hi]
-                doc_hi += 1
-            H = (S[row_lo:row_hi, None] * a[None, :] + b[None, :]) >> np.uint64(32)
-            mins[doc_lo:doc_hi] = np.minimum.reduceat(
-                H, starts[doc_lo:doc_hi] - row_lo, axis=0
-            )
-            doc_lo = doc_hi
-    out[nz] = mins.astype(np.int64)
-    return out

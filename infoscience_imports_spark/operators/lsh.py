@@ -101,18 +101,12 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
     speculative plans pay that probe even if the returned frame is never
     executed; it is one stats aggregation over the bucket table.
     """
-    from ..caching import persist_tracked
-
-    # The repartitioned bucket table has TWO executing jobs over it: the
-    # hot-slice probe (collect, below) and whatever action the caller runs
-    # over the returned pair frame. Separate jobs cannot reuse each other's
-    # exchanges (AQE compiles per action), so without a persist the scan +
-    # (band, bucket) shuffle ran twice per family (guide §2.4). The cache is
-    # an InMemoryRelation, which — unlike the localCheckpoint this stage
-    # briefly had in round 3 — PRESERVES the hash output partitioning, so
-    # the downstream groupBy still plans zero extra exchanges. Narrow rows
-    # (doc_id, band, bucket); released via the tracked-persist registry.
-    pre = persist_tracked(buckets.repartition("band", "bucket"))
+    # NB (round 6): persisting this repartitioned frame so the probe job and
+    # the caller's action share the exchange was tried and REVERTED — the
+    # interleaved A/B read 7.5 s vs 6.8 s per edges stage WITH the persist
+    # (cache build + AQE-less cached subtree cost more than the re-exchange
+    # of these narrow rows saves). Numbers in OPTIMIZATION_r06.md.
+    pre = buckets.repartition("band", "bucket")
     stats = pre.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize"),
         F.min("doc_id").alias("h1"),

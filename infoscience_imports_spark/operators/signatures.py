@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import DedupConfig, DEFAULT_CONFIG
-from ..functions.minhash import perm_params
+from ..functions.minhash import perm_params, minhash_signature
 from ..functions.shingles import shingle_hashes, token_hashes
 from ..functions.simhash import simhash64
 from ..functions.text import normalize_text_col
@@ -123,14 +123,18 @@ def compute_signatures(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.minhash import minhash_signatures_stacked
-
+        # NB (round 6): a whole-batch stacked multiply-add with
+        # np.minimum.reduceat was tried here and REVERTED — reduceat's
+        # generalized-ufunc segment loop measured 8-24x SLOWER than the
+        # per-doc (P, m) matmul-min in either axis orientation, so the
+        # per-doc kernel below IS the fast form (numbers in
+        # OPTIMIZATION_r06.md "tried and reverted").
         for pdf in batches:
             memo: dict[str, int] = {}
             n = len(pdf)
+            minhashes = [None] * n
             simhashes = np.zeros(n, dtype=np.int64)
             bottomks = [None] * n
-            sh_sets: list[np.ndarray] = [None] * n
             shingle_lists = [None] * n if include_shingles else None
             n_sh = np.zeros(n, dtype=np.int32)
             n_tok = np.zeros(n, dtype=np.int32)
@@ -138,7 +142,7 @@ def compute_signatures(
                 toks = text.split() if isinstance(text, str) else []
                 th = token_hashes(toks, memo)
                 sh = shingle_hashes(th, k)
-                sh_sets[i] = sh
+                minhashes[i] = minhash_signature(sh, a_param, b_param)
                 # SimHash over the title-like prefix (short-field path)
                 head = th[:title_tokens]
                 fp = simhash64(head)
@@ -148,15 +152,13 @@ def compute_signatures(
                     shingle_lists[i] = sh.astype(np.int64)
                 n_sh[i] = sh.size
                 n_tok[i] = len(toks)
-            # one stacked multiply-add + segment-min for the whole batch:
-            # short docs make the per-doc kernel overhead-bound (guide §4.2
-            # "hand whole batches to vectorized native libraries")
-            mh = minhash_signatures_stacked(sh_sets, a_param, b_param)
-            bands = list(band_keys(mh, n_bands)) if n else []
+            bands = (
+                list(band_keys(np.stack(minhashes), n_bands)) if n else []
+            )
             out = {
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "digest": pdf["digest"].to_numpy(),
-                "minhash": list(mh),
+                "minhash": minhashes,
                 "bands": bands,
                 "simhash64": simhashes,
                 "bottomk": bottomks,

@@ -554,8 +554,8 @@ class IncrementalNearDedup(IncrementalDedup):
                 df.unpersist()
             fresh.unpersist()
             sg.unpersist()
-            # operator-internal tracked persists (candidate_pairs now caches
-            # its repartitioned bucket table) must not accumulate across
+            # operator-internal tracked persists (containment's posting
+            # tables, gate persists) must not accumulate across
             # micro-batches — same drain the compact() path does
             from .. import caching
 

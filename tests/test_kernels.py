@@ -176,29 +176,3 @@ def test_contains_substring_numpy_path_property():
         assert contains_substring(needle, hay) == (needle in hay)
 
     check()
-
-
-def test_minhash_stacked_equals_per_doc_kernel():
-    """The batched reduceat signature path (round-6 optimization) must be
-    bit-identical to the per-doc kernel, including empty/None sets and
-    forced multi-chunk processing."""
-    from infoscience_imports_spark.functions.minhash import (
-        minhash_signatures_stacked,
-    )
-
-    cfg = DedupConfig()
-    a, b = perm_params(cfg)
-    rng = np.random.default_rng(17)
-    sets = [
-        np.unique(rng.integers(0, 1 << 63, int(rng.integers(0, 250)), dtype=np.uint64))
-        for _ in range(300)
-    ]
-    sets[3] = np.empty(0, dtype=np.uint64)
-    sets[42] = None
-    # chunk_elems small enough to force many chunks (doc boundaries respected)
-    stacked = minhash_signatures_stacked(sets, a, b, chunk_elems=4_000)
-    for i, s in enumerate(sets):
-        ref = minhash_signature(
-            s if s is not None else np.empty(0, dtype=np.uint64), a, b
-        )
-        assert np.array_equal(stacked[i], ref), f"doc {i} diverged"
