@@ -636,10 +636,13 @@ def q_doc_rollup(spark, sf_dir):
 
 
 def q1_pricing_summary(spark, sf_dir):
-    # the BigDecimal-path sums (result precision > 18) are the per-row cost
-    # and the 6-row-group scan caps them at ~6 cores; the gated repartition
-    # spreads them (interleaved A/B: 1.67 s vs 1.86 s, consistent)
-    li = _t_par(spark, sf_dir, "lineitem", key="l_orderkey")
+    # NOT repartitioned: a quiet-window A/B showed a marginal win (1.67 vs
+    # 1.86 s) but the canonical bench protocol read 3.67 s WITH the
+    # repartition vs 2.08 s without (round-5 record) — the ~150 MB exchange
+    # of 6M wide rows loses badly under contention for a ~6-way -> 32-way
+    # spread of the partial aggregation. The BigDecimal sums stay the
+    # per-row cost; see OPTIMIZATION_r06.md "deliberately left alone".
+    li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")

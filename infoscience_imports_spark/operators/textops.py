@@ -47,7 +47,11 @@ def tokens_col(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens_col(text))
+    # counting needs neither the per-token lowercase map nor the array
+    # materialization order — size(extract_all) == size(tokens_col) because
+    # lower() is a per-element bijection on the run array
+    s = F.regexp_replace(text, r"<[^>]*>", " ")
+    return F.size(F.regexp_extract_all(s, F.lit(r"[0-9A-Za-z]+"), 0))
 
 
 def bpe_ish_count(text: Column) -> Column:
